@@ -1,0 +1,56 @@
+"""Pallas kernel tests (interpret mode on CPU; bit-exact vs the jnp path).
+
+On real TPU the same kernels compile natively; interpret mode validates the
+kernel algebra on any backend.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zerocaf_tpu import oracle as o
+from zerocaf_tpu.ops import limb as l
+from zerocaf_tpu.ops.pallas import field_kernels as fk
+
+rng = np.random.default_rng(21)
+
+
+def rand_elems(n):
+    return [int.from_bytes(rng.bytes(40), "little") % o.P for _ in range(n)]
+
+
+class TestPallasFieldMul:
+    def test_matches_jnp_path(self):
+        n = 200  # deliberately not a multiple of 128 (padding path)
+        xs, ys = rand_elems(n), rand_elems(n)
+        A = jnp.asarray(np.stack([o.int_to_limbs(v) for v in xs]).astype(np.int32))
+        B = jnp.asarray(np.stack([o.int_to_limbs(v) for v in ys]).astype(np.int32))
+        got = fk.mul_tiled(A, B, l.FIELD, interpret=True)
+        ref = l.mul(A, B, l.FIELD)
+        ga = np.asarray(l.canonical(got, l.FIELD))
+        rb = np.asarray(l.canonical(ref, l.FIELD))
+        assert (ga == rb).all()
+        assert all(o.limbs_to_int(row) == o.fmul(x, y)
+                   for row, x, y in zip(ga, xs, ys))
+
+    def test_scalar_modulus(self):
+        xs, ys = rand_elems(64), rand_elems(64)
+        A = jnp.asarray(np.stack([o.int_to_limbs(v % o.R) for v in xs]).astype(np.int32))
+        B = jnp.asarray(np.stack([o.int_to_limbs(v % o.R) for v in ys]).astype(np.int32))
+        got = fk.mul_tiled(A, B, l.SCALAR, interpret=True)
+        ga = np.asarray(l.canonical(got, l.SCALAR))
+        assert all(o.limbs_to_int(row) == o.smul(x % o.R, y % o.R)
+                   for row, x, y in zip(ga, xs, ys))
+
+    def test_semi_reduced_inputs(self):
+        # feed semi-reduced (non-canonical) inputs: outputs must agree with
+        # the jnp path bit-for-bit after canonicalization
+        xs, ys = rand_elems(128), rand_elems(128)
+        A = jnp.asarray(np.stack([o.int_to_limbs(v) for v in xs]).astype(np.int32))
+        B = jnp.asarray(np.stack([o.int_to_limbs(v) for v in ys]).astype(np.int32))
+        A2 = l.sub(l.mul(A, B, l.FIELD), A)  # semi-reduced, possibly negative
+        got = fk.mul_tiled(A2, B, l.FIELD, interpret=True)
+        ref = l.mul(A2, B, l.FIELD)
+        assert (np.asarray(l.canonical(got, l.FIELD))
+                == np.asarray(l.canonical(ref, l.FIELD))).all()

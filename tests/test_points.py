@@ -1,0 +1,242 @@
+"""Differential tests for the batched point models vs oracle + reference
+fixtures.  All device tests share batch shape (8,) to reuse compile caches
+(this host has 2 vCPUs; XLA compiles dominate wall time)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zerocaf_tpu import (CompressedEdwardsY, EdwardsPoint, FieldElement,
+                         ProjectivePoint, RistrettoPoint, Scalar,
+                         binary_naf_mul, window_naf_mul)
+from zerocaf_tpu import oracle as o
+from zerocaf_tpu.models.montgomery import MontgomeryPoint
+
+B = 8  # standard batch
+
+
+def batch_points(pts):
+    pts = (pts * ((B + len(pts) - 1) // len(pts)))[:B]
+    arr = np.stack([[o.int_to_limbs(c) for c in p] for p in pts]).astype(np.int32)
+    return EdwardsPoint(*(jnp.asarray(arr[:, i]) for i in range(4))), pts
+
+
+def assert_points_eq(got: EdwardsPoint, expect_pts):
+    xs, ys, zs, ts = got.to_ints()
+    for i, e in enumerate(expect_pts):
+        g = (int(xs[i]), int(ys[i]), int(zs[i]), int(ts[i]))
+        assert o.point_eq(g, e), f"lane {i}"
+
+
+# reference fixtures (edwards.rs:1145-1353)
+P1 = (13, o.limbs52_to_int([606320128494542, 1597163540666577, 1835599237877421,
+                            1667478411389512, 3232679738299]), 1,
+      o.limbs52_to_int([2034732376387996, 3922598123714460, 1344791952818393,
+                        3662820838581677, 6840464509059]))
+P2 = (67, o.limbs52_to_int([2369245568431362, 2665603790611352, 3317390952748653,
+                            1908583331312524, 8011773354506]), 1,
+      o.limbs52_to_int([3474019263728064, 2548729061993416, 1588812051971430,
+                        1774293631565269, 9023233419450]))
+
+BASE_PTS = [P1, P2, o.BASEPOINT, o.IDENTITY, o.point_double(P1),
+            o.point_add(P1, P2), o.point_neg(P2), o.scalar_mul(o.BASEPOINT, 12345)]
+
+
+class TestEdwards:
+    def test_add_double_neg_sub(self):
+        p, pts = batch_points(BASE_PTS)
+        q, qts = batch_points(list(reversed(BASE_PTS)))
+        assert_points_eq(p + q, [o.point_add(a, b) for a, b in zip(pts, qts)])
+        assert_points_eq(p.double(), [o.point_double(a) for a in pts])
+        assert_points_eq(-p, [o.point_neg(a) for a in pts])
+        assert_points_eq(p - q, [o.point_sub(a, b) for a, b in zip(pts, qts)])
+
+    def test_validity_and_eq(self):
+        p, pts = batch_points(BASE_PTS)
+        assert np.asarray(p.is_valid()).all()
+        assert np.asarray(p.eq(p)).all()
+        q, _ = batch_points(list(reversed(BASE_PTS)))
+        eqs = np.asarray(p.eq(q))
+        expect = [o.point_eq(a, b) for a, b in zip(BASE_PTS, reversed(BASE_PTS))]
+        assert list(eqs) == expect
+
+    def test_scalar_mul(self):
+        p, pts = batch_points(BASE_PTS)
+        ks = [8, 1, 0, o.R - 1, (1 << 215), 12345, 7, 2]
+        k = Scalar.from_int(np.array(ks, dtype=object))
+        assert_points_eq(p * k, [o.scalar_mul(a, kk) for a, kk in zip(pts, ks)])
+
+    def test_mul_cofactor_pow2(self):
+        p, pts = batch_points(BASE_PTS)
+        assert_points_eq(p.mul_by_cofactor(), [o.mul_by_cofactor(a) for a in pts])
+        assert_points_eq(p.mul_by_pow_2(4), [o.mul_by_pow_2(a, 4) for a in pts])
+
+    def test_basepoint_order(self):
+        p = EdwardsPoint.basepoint((B,))
+        rp = p.mul_raw_int(o.R)
+        assert np.asarray(rp.eq(EdwardsPoint.identity((B,)))).all()
+
+    def test_compress(self):
+        p, pts = batch_points(BASE_PTS)
+        got = np.asarray(p.compress())
+        for row, e in zip(got, pts):
+            assert bytes(row) == o.edwards_compress(e)
+
+    def test_decompress(self):
+        p, pts = batch_points(BASE_PTS)
+        enc = np.asarray(p.compress())
+        back, ok = CompressedEdwardsY(jnp.asarray(enc)).decompress()
+        assert np.asarray(ok).all()
+        assert_points_eq(back, pts)
+        # invalid y (edwards.rs:1569-1577)
+        bad = np.asarray(enc).copy()
+        bad[0] = np.array(bytearray(
+            bytes([250, 144, 188, 47, 13, 101, 118, 114, 201, 185, 169, 115, 255,
+                   111, 40, 25, 69, 105, 170, 255, 113, 65, 120, 126, 170, 192, 48,
+                   109, 112, 20, 221, 149])), dtype=np.uint8)
+        _, ok = CompressedEdwardsY(jnp.asarray(bad)).decompress()
+        assert not bool(np.asarray(ok)[0])
+        assert np.asarray(ok)[1:].all()
+
+    def test_new_from_y(self):
+        ys = FieldElement.from_int(np.array([P1[1], P2[1], 15, o.fdiv(3, 5)] * 2,
+                                            dtype=object))
+        pt, ok = EdwardsPoint.new_from_y_coord(ys, jnp.zeros(B, jnp.int32))
+        okh = np.asarray(ok)
+        assert list(okh[:4]) == [True, True, False, True]
+        xs, _, _, _ = pt.to_ints()
+        assert int(xs[0]) == P1[0] and int(xs[1]) == P2[0]
+        assert int(xs[3]) == o.BASEPOINT[0]
+
+    def test_projective(self):
+        p, pts = batch_points(BASE_PTS)
+        pp = p.to_projective()
+        s = pp + pp
+        d = pp.double()
+        assert np.asarray(s.eq(d)).all()
+        assert np.asarray(pp.is_valid()).all()
+        assert np.asarray(
+            d.to_extended().eq(p.double())).all()
+
+    def test_affine(self):
+        p, pts = batch_points(BASE_PTS)
+        a = p.to_affine()
+        assert np.asarray(a.is_valid()).all()
+        exp = [o.point_to_affine(q) for q in pts]
+        ax = FieldElement(a.X).to_ints()
+        ay = FieldElement(a.Y).to_ints()
+        # identity Z=1 inverse(0)... identity has Z=1 so fine
+        assert all(int(x) == e[0] and int(y) == e[1]
+                   for x, y, e in zip(ax, ay, exp))
+        rt = a.to_extended()
+        assert np.asarray(rt.eq(p)).all()
+
+    def test_naf_muls(self):
+        p, pts = batch_points(BASE_PTS)
+        ks = [7, 1122334455, o.R - 1, 3, 8, 1, 0, 255]
+        k = Scalar.from_int(np.array(ks, dtype=object))
+        got = binary_naf_mul(p, k)
+        assert_points_eq(got, [o.scalar_mul(a, kk) for a, kk in zip(pts, ks)])
+
+    def test_window_naf_fixed_base(self):
+        ks = [7, 1122334455, o.R - 1, 3, 8, 1, 0, 255]
+        k = Scalar.from_int(np.array(ks, dtype=object))
+        for width in (4, 7):
+            got = window_naf_mul(k, width)
+            assert_points_eq(got, [o.scalar_mul(o.BASEPOINT, kk) for kk in ks])
+
+
+RISTRETTO_VECS = [
+    "0000000000000000000000000000000000000000000000000000000000000000",
+    "0200000000000000000000000000000000000000000000000000000000000000",
+    "abe4ea98eaaeda5a9c63879cb3c4d9b4a01ed31ac383acefd7ed49861e1a8002",
+    "1064fe35b16525f90f1d2f7d3dc448ba31a118f136c53eed88c2e951f1832907",
+    "a826cf66461dea21e51187dddd8753299b726a7d4217cb75758aefbf5a2d4f01",
+    "4d2e0705a9b47d122f98bd74808d386cf1691bc5407af703dd0c4808038b7f07",
+    "f3a3592fde5fa05a881b80b4e732b37c32c7f684a5be33cdb8b7bdaf53db6f04",
+    "51626c7960da63010efc5e064e62962f158f59928914fc108257ec2653745e01",
+]
+
+
+class TestRistretto:
+    def test_small_multiple_encodings(self):
+        ks = list(range(8))
+        k = Scalar.from_int(np.array(ks))
+        p = RistrettoPoint.basepoint((B,)) * k
+        got = np.asarray(p.compress())
+        for row, e in zip(got, RISTRETTO_VECS):
+            assert bytes(row).hex() == e
+
+    def test_decompress_roundtrip_and_rejects(self):
+        enc = np.stack([np.frombuffer(bytes.fromhex(v), np.uint8)
+                        for v in RISTRETTO_VECS])
+        pt, ok = RistrettoPoint.decompress(jnp.asarray(enc))
+        assert np.asarray(ok).all()
+        assert np.asarray(pt.eq(RistrettoPoint.basepoint((B,)) *
+                                Scalar.from_int(np.arange(8)))).all()
+        # non-canonical / negative encodings must be rejected
+        bad = enc.copy()
+        bad[0] = np.frombuffer(o.fe_to_bytes(o.P - 1), np.uint8)  # negative s
+        bad[1] = np.frombuffer((o.P + 2).to_bytes(32, "little"), np.uint8)
+        bad[2] = 255 * np.ones(32, np.uint8)
+        _, ok = RistrettoPoint.decompress(jnp.asarray(bad))
+        okh = np.asarray(ok)
+        assert not okh[0] and not okh[1] and not okh[2]
+        assert okh[3:].all()
+
+    def test_elligator_sage_vector(self):
+        raw = bytes.fromhex("2e2d7c6f887c81c1593f32e2fa31a7b65d4fbbf38f8ab3045ead22fc45743219")
+        r0 = FieldElement.from_bytes(jnp.asarray(
+            np.broadcast_to(np.frombuffer(raw, np.uint8), (B, 32))))
+        pt = RistrettoPoint.elligator(r0)
+        expect = o.elligator_ristretto_flavor(o.fe_from_bytes(raw))
+        got = np.asarray(pt.compress())
+        assert bytes(got[0]) == o.ristretto_compress(expect)
+        assert np.asarray(pt.point.is_valid()).all()
+
+    def test_from_uniform_bytes(self):
+        raw = np.frombuffer(bytes(range(64)), np.uint8)
+        pt = RistrettoPoint.from_uniform_bytes(jnp.asarray(np.broadcast_to(raw, (B, 64))))
+        expect = o.from_uniform_bytes(bytes(range(64)))
+        got = np.asarray(pt.compress())
+        assert bytes(got[0]) == o.ristretto_compress(expect)
+
+    def test_coset_equality(self):
+        bp = RistrettoPoint.basepoint((B,))
+        for q in bp.coset4():
+            assert np.asarray(RistrettoPoint(q).eq(bp)).all()
+
+    def test_four_torsion_diff(self):
+        bp = RistrettoPoint.basepoint((B,))
+        rt, ok = RistrettoPoint.decompress(bp.compress())
+        assert np.asarray(ok).all()
+        diff = bp.point - rt.point
+        assert np.asarray(diff.mul_by_pow_2(2).eq(
+            __import__("zerocaf_tpu").EdwardsPoint.identity((B,)))).all()
+
+    def test_random_roundtrip(self):
+        key = jax.random.PRNGKey(3)
+        pt = RistrettoPoint.random(key, (B,))
+        rt, ok = RistrettoPoint.decompress(pt.compress())
+        assert np.asarray(ok).all()
+        assert np.asarray(rt.eq(pt)).all()
+
+
+class TestMontgomery:
+    def test_roundtrip(self):
+        p, pts = batch_points(BASE_PTS[:2] * 4)
+        m = MontgomeryPoint.from_edwards(p)
+        exp_u = [o.edwards_to_montgomery_u(q) for q in pts]
+        assert all(int(v) == e for v, e in zip(m.u().to_ints(), exp_u))
+        back, ok = m.to_edwards(jnp.zeros(B, jnp.int32))
+        assert np.asarray(ok).all()
+        # same u -> same point up to x-sign: compare y coordinates
+        ya = FieldElement(back.to_affine().Y).to_ints()
+        yb = [o.point_to_affine(q)[1] for q in pts]
+        assert all(int(a) == b for a, b in zip(ya, yb))
+
+    def test_eq(self):
+        p, _ = batch_points(BASE_PTS[:2] * 4)
+        m = MontgomeryPoint.from_edwards(p)
+        assert np.asarray(m.eq(m)).all()

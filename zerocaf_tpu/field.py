@@ -1,0 +1,203 @@
+"""Batched field elements mod p = 2^252 + 27742317777372353535851937790883648493.
+
+The public facade over the limb engine -- the TPU analogue of the reference's
+FieldElement (field.rs:83-141 facade over backend/u64/field.rs).  A
+``FieldElement`` wraps an int32[..., 22] limb array; all leading axes are
+batch axes, so one object is a whole lane of field elements and every
+operation is data-parallel.
+
+Elements circulate in semi-reduced form (|value| < 2^253, see ops/limb.py);
+observation (bytes, equality, positivity, evenness) canonicalizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from . import oracle
+from .ops import inv_sqrt as _isq
+from .ops import limb as _l
+from .ops.limb import FIELD as _SPEC
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FieldElement:
+    limbs: jnp.ndarray  # int32[..., 22]
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_int(cls, v: int | Any) -> "FieldElement":
+        """Embed python int(s) (From<u8..u128>, field.rs:97-149 -- any width)."""
+        if isinstance(v, (list, tuple, np.ndarray)):
+            arr = np.stack([oracle.int_to_limbs(int(x) % C.P) for x in np.ravel(v)])
+            arr = arr.reshape(*np.shape(v), 22).astype(np.int32)
+            return cls(jnp.asarray(arr))
+        return cls(jnp.asarray(np.array(oracle.int_to_limbs(int(v) % C.P), dtype=np.int32)))
+
+    @classmethod
+    def zero(cls) -> "FieldElement":
+        return cls.from_int(0)
+
+    @classmethod
+    def one(cls) -> "FieldElement":
+        return cls.from_int(1)
+
+    @classmethod
+    def minus_one(cls) -> "FieldElement":
+        return cls.from_int(C.P - 1)
+
+    @classmethod
+    def two_pow_k(cls, k: int) -> "FieldElement":
+        """2^k as a field element (field.rs:640-666)."""
+        assert 0 <= k < 253
+        return cls.from_int(1 << k)
+
+    @classmethod
+    def from_bytes(cls, b: jnp.ndarray) -> "FieldElement":
+        """[..., 32] uint8 little-endian -> elements (field.rs:563-587; the
+        raw 256-bit value is reduced mod p)."""
+        return cls(_l.from_bytes(jnp.asarray(b), _SPEC))
+
+    @classmethod
+    def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "FieldElement":
+        """Uniform random elements via 512-bit reduction (stronger than the
+        reference's top-bit masking, field.rs:126-141)."""
+        raw = jax.random.bits(key, shape + (64,), dtype=jnp.uint8)
+        lo = _l.from_bytes(raw[..., :32], _SPEC)
+        hi = _l.from_bytes(raw[..., 32:], _SPEC)
+        shift = jnp.asarray(C._limbs(pow(2, 256, C.P)))
+        return cls(_l.add(_l.mul(hi, shift, _SPEC), lo))
+
+    # -- shape plumbing -----------------------------------------------------
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.limbs.shape[:-1]
+
+    def __getitem__(self, idx) -> "FieldElement":
+        return FieldElement(self.limbs[idx])
+
+    def broadcast_to(self, shape) -> "FieldElement":
+        return FieldElement(jnp.broadcast_to(self.limbs, tuple(shape) + (22,)).astype(jnp.int32))
+
+    # -- ring ops (field.rs:191-323) ---------------------------------------
+    def __add__(self, other: "FieldElement") -> "FieldElement":
+        return FieldElement(_l.add(self.limbs, other.limbs))
+
+    def __sub__(self, other: "FieldElement") -> "FieldElement":
+        return FieldElement(_l.sub(self.limbs, other.limbs))
+
+    def __neg__(self) -> "FieldElement":
+        return FieldElement(_l.neg(self.limbs))
+
+    def __mul__(self, other: "FieldElement") -> "FieldElement":
+        return FieldElement(_l.mul(self.limbs, other.limbs, _SPEC))
+
+    def __truediv__(self, other: "FieldElement") -> "FieldElement":
+        """x * y^-1 (field.rs:277-300).  Division by zero yields zero (batched
+        kernels cannot panic; use .is_zero() to detect)."""
+        return self * other.inverse()
+
+    def square(self) -> "FieldElement":
+        return FieldElement(_l.square(self.limbs, _SPEC))
+
+    def half(self) -> "FieldElement":
+        """x/2 mod p (field.rs:317-323).  half_without_mod (field.rs:676-688)
+        is not needed: this is already a single constant-multiply."""
+        return self * FieldElement(jnp.asarray(C._limbs(C.INVERSE_MOD_TWO)))
+
+    def inverse(self) -> "FieldElement":
+        """Fermat a^(p-2) (replaces the binary-GCD loop, field.rs:854-925)."""
+        return FieldElement(_isq.inverse(self.limbs))
+
+    def pow(self, exp) -> "FieldElement":
+        """a^e: python-int exponent -> static chain; FieldElement/Scalar
+        exponent -> fixed 253-trip batched ladder (field.rs:325-355)."""
+        if isinstance(exp, int):
+            return FieldElement(_l.pow_const(self.limbs, exp, _SPEC))
+        bits = _l.to_bits(exp.limbs, _SPEC, 253)
+        return FieldElement(_l.pow_batched(self.limbs, bits, _SPEC))
+
+    # -- square roots -------------------------------------------------------
+    def legendre_symbol(self) -> jnp.ndarray:
+        """True = QR (Choice(1)), False = non-QR (field.rs:703-706)."""
+        return _isq.legendre_is_qr(self.limbs)
+
+    def mod_sqrt(self, sign) -> tuple[jnp.ndarray, "FieldElement"]:
+        """(exists, root); sign semantics follow the reference exactly
+        (field.rs:378-440): 0 -> raw Tonelli root, 1 -> its negation."""
+        ok, root = _isq.mod_sqrt(self.limbs, jnp.asarray(sign))
+        return ok, FieldElement(root)
+
+    def inv_sqrt(self) -> tuple[jnp.ndarray, "FieldElement"]:
+        ok, r = _isq.inv_sqrt(self.limbs)
+        return ok, FieldElement(r)
+
+    def sqrt_ratio_i(self, v: "FieldElement") -> tuple[jnp.ndarray, "FieldElement"]:
+        ok, r = _isq.sqrt_ratio_i(self.limbs, v.limbs)
+        return ok, FieldElement(r)
+
+    # -- observation --------------------------------------------------------
+    def canonical(self) -> "FieldElement":
+        return FieldElement(_l.canonical(self.limbs, _SPEC))
+
+    def to_bytes(self) -> jnp.ndarray:
+        """Canonical 32-byte LE encoding [..., 32] uint8 (field.rs:591-631)."""
+        return _l.to_bytes(self.limbs, _SPEC)
+
+    def eq(self, other: "FieldElement") -> jnp.ndarray:
+        """Constant-time-style equality mask (field.rs:93-106)."""
+        return _l.eq(self.limbs, other.limbs, _SPEC)
+
+    def is_zero(self) -> jnp.ndarray:
+        return _l.is_zero(self.limbs, _SPEC)
+
+    def is_positive(self) -> jnp.ndarray:
+        """Decaf criterion (field.rs:552-557)."""
+        return _isq.is_positive(self.limbs)
+
+    def abs(self) -> "FieldElement":
+        return FieldElement(_isq.abs_positive(self.limbs))
+
+    def is_even(self) -> jnp.ndarray:
+        """Low bit of the canonical value (field.rs:534-539)."""
+        return (_l.canonical(self.limbs, _SPEC)[..., 0] & 1) == 0
+
+    def conditional_negate(self, cond) -> "FieldElement":
+        return FieldElement(_isq.conditional_negate(self.limbs, jnp.asarray(cond)))
+
+    def select(self, cond, other: "FieldElement") -> "FieldElement":
+        """where(cond, self, other), limbwise (ConditionallySelectable,
+        field.rs:108-118)."""
+        return FieldElement(_l.select(jnp.asarray(cond), self.limbs, other.limbs))
+
+    # -- host-side helpers (tests / debugging) ------------------------------
+    def to_ints(self):
+        """Pull to host as python int(s) -- observation only."""
+        arr = np.asarray(self.canonical().limbs)
+        if arr.ndim == 1:
+            return oracle.limbs_to_int(arr)
+        flat = arr.reshape(-1, 22)
+        out = np.empty(flat.shape[0], dtype=object)
+        for i, row in enumerate(flat):
+            out[i] = oracle.limbs_to_int(row)
+        return out.reshape(arr.shape[:-1])
+
+    def __repr__(self) -> str:
+        return f"FieldElement(shape={self.shape})"
+
+
+# Module-level constants, mirroring the reference's constants module surface.
+EDWARDS_D = FieldElement(jnp.asarray(C.EDWARDS_D_LIMBS))
+EDWARDS_A = FieldElement(jnp.asarray(C.EDWARDS_A_LIMBS))
+SQRT_M1 = FieldElement(jnp.asarray(C.SQRT_M1_LIMBS))
+INV_SQRT_A_MINUS_D = FieldElement(jnp.asarray(C.INV_SQRT_A_MINUS_D_LIMBS))
+SQRT_AD_MINUS_ONE = FieldElement(jnp.asarray(C.SQRT_AD_MINUS_ONE_LIMBS))
+ONE_MINUS_D_SQ = FieldElement(jnp.asarray(C.ONE_MINUS_D_SQ_LIMBS))
+D_MINUS_ONE_SQ = FieldElement(jnp.asarray(C.D_MINUS_ONE_SQ_LIMBS))

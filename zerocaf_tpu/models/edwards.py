@@ -1,0 +1,541 @@
+"""Batched Edwards points on the Sonny curve (TPU-native point models).
+
+The analogue of the reference's point layer (/root/reference/src/edwards.rs):
+four coordinate systems --
+
+  * ``EdwardsPoint``      extended (X:Y:Z:T), the workhorse (edwards.rs:329-342)
+  * ``ProjectivePoint``   (X:Y:Z) (edwards.rs:666-684)
+  * ``AffinePoint``       (x, y), equality/validity only (edwards.rs:1000-1011)
+  * ``CompressedEdwardsY``  32-byte wire format (edwards.rs:208-211)
+
+-- but every point is a *batch*: coordinates are int32[..., 22] limb lanes and
+all group operations are data-parallel.  Scalar multiplication is the
+fixed-250-trip MSB-first ladder (the TPU-shaped form of edwards.rs:122-134)
+running under lax.scan: constant trip count, select-by-bit, no data-dependent
+control flow.  Unlike the reference (which doubles via self+self,
+edwards.rs:589-591), doubling uses the dedicated dbl-2008-hwcd 4M+4S formula.
+
+The unified a=-1 Hisil-Wong-Carter-Dawson addition (edwards.rs:465-489) is
+complete on this curve (-1 is square, d is non-square; verified in
+tools/constants_gen.py), so adding the identity or equal points needs no
+special-casing -- exactly what a branch-free lane machine wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..field import FieldElement
+from ..scalar import Scalar
+from ..ops import inv_sqrt as _isq
+from ..ops import limb as _l
+from ..ops.limb import FIELD as _F
+
+# Limb-level point = tuple of 4 arrays (X, Y, Z, T), each [..., 22] int32.
+_D = jnp.asarray(C.EDWARDS_D_LIMBS)
+
+
+# ---------------------------------------------------------------------------
+# Limb-level kernels (pytree in/out; jitted at the public wrappers)
+# ---------------------------------------------------------------------------
+
+
+def _add(p, q):
+    """Unified HWCD a=-1 addition, 10M (edwards.rs:465-489)."""
+    X1, Y1, Z1, T1 = p
+    X2, Y2, Z2, T2 = q
+    A = _l.mul(X1, X2, _F)
+    B = _l.mul(Y1, Y2, _F)
+    Cc = _l.mul(_D, _l.mul(T1, T2, _F), _F)
+    Dd = _l.mul(Z1, Z2, _F)
+    E = _l.sub(_l.sub(_l.mul(_l.add(X1, Y1), _l.add(X2, Y2), _F), A), B)
+    F = _l.sub(Dd, Cc)
+    G = _l.add(Dd, Cc)
+    H = _l.add(B, A)
+    return (_l.mul(E, F, _F), _l.mul(G, H, _F), _l.mul(F, G, _F), _l.mul(E, H, _F))
+
+
+def _double(p):
+    """Dedicated dbl-2008-hwcd doubling, 4M+4S (a = -1)."""
+    X, Y, Z, _ = p
+    A = _l.square(X, _F)
+    B = _l.square(Y, _F)
+    Cc = _l.add(_l.square(Z, _F), _l.square(Z, _F))
+    Dd = _l.neg(A)
+    E = _l.sub(_l.sub(_l.square(_l.add(X, Y), _F), A), B)
+    G = _l.add(Dd, B)
+    F = _l.sub(G, Cc)
+    H = _l.sub(Dd, B)
+    return (_l.mul(E, F, _F), _l.mul(G, H, _F), _l.mul(F, G, _F), _l.mul(E, H, _F))
+
+
+def _neg(p):
+    X, Y, Z, T = p
+    return (_l.neg(X), Y, Z, _l.neg(T))
+
+
+def _select(mask, p, q):
+    return tuple(_l.select(mask, a, b) for a, b in zip(p, q))
+
+
+def _identity_like(p):
+    X, Y, Z, T = p
+    zero = jnp.zeros_like(X)
+    one = jnp.zeros_like(X).at[..., 0].set(1)
+    return (zero, one, one, zero)
+
+
+@partial(jax.jit, static_argnames=("nbits",))
+def _scalar_mul(p, bits, nbits: int = 250):
+    """Fixed-ladder MSB-first double-and-add over lax.scan.
+
+    bits: [..., nbits] LSB-first int32 (from Scalar.into_bits).  250 bits
+    cover all canonical scalars; pass nbits=253 to multiply by raw integers
+    up to 8r (order checks)."""
+    bits_msb = jnp.moveaxis(bits, -1, 0)[::-1]  # [nbits, ...]
+
+    def body(Q, bit):
+        Q = _double(Q)
+        Qp = _add(Q, p)
+        return _select(bit.astype(bool), Qp, Q), None
+
+    Q, _ = jax.lax.scan(body, _identity_like(p), bits_msb)
+    return Q
+
+
+@jax.jit
+def _eq(p, q):
+    """Projective equality: X1*Z2 == X2*Z1 and Y1*Z2 == Y2*Z1
+    (the reference normalizes through AffinePoint, edwards.rs:360-364;
+    cross-multiplying avoids the inversion)."""
+    X1, Y1, Z1, _ = p
+    X2, Y2, Z2, _ = q
+    ex = _l.eq(_l.mul(X1, Z2, _F), _l.mul(X2, Z1, _F), _F)
+    ey = _l.eq(_l.mul(Y1, Z2, _F), _l.mul(Y2, Z1, _F), _F)
+    return ex & ey
+
+
+@jax.jit
+def _is_valid(p):
+    """(a*X^2 + Y^2)*Z^2 == Z^4 + d*X^2*Y^2 plus T*Z == X*Y
+    (edwards.rs:733-748)."""
+    X, Y, Z, T = p
+    xs = _l.square(X, _F)
+    ys = _l.square(Y, _F)
+    zs = _l.square(Z, _F)
+    left = _l.mul(_l.sub(ys, xs), zs, _F)  # a = -1
+    right = _l.add(_l.square(zs, _F), _l.mul(_D, _l.mul(xs, ys, _F), _F))
+    curve = _l.eq(left, right, _F)
+    ext = _l.eq(_l.mul(T, Z, _F), _l.mul(X, Y, _F), _F)
+    return curve & ext
+
+
+@jax.jit
+def _compress(p):
+    """CompressedEdwardsY encode (edwards.rs:613-629): canonical y bytes with
+    the sign bit set iff x != raw_tonelli(x^2).  Bit-compatible with the
+    reference (see ops/inv_sqrt.sqrt_raw)."""
+    X, Y, Z, _ = p
+    zinv = _isq.inverse(Z)
+    x = _l.mul(X, zinv, _F)
+    y = _l.mul(Y, zinv, _F)
+    _, raw = _isq.sqrt_raw(_l.square(x, _F))
+    sign = ~_l.eq(raw, x, _F)
+    b = _l.to_bytes(y, _F)
+    return b.at[..., 31].add(jnp.where(sign, 128, 0).astype(jnp.uint8))
+
+
+@jax.jit
+def _decompress(b):
+    """CompressedEdwardsY decode (edwards.rs:313-326).  Returns (point, ok)."""
+    sign = (b[..., 31] >> 7).astype(jnp.int32)
+    yb = b.at[..., 31].set(b[..., 31] & 0x0F)
+    y = _l.from_bytes(yb, _F)
+    return _from_y(y, sign)
+
+
+def _find_xx(y):
+    """xx = (y^2 - 1)/(d*y^2 - a)  (edwards.rs:200-204)."""
+    ys = _l.square(y, _F)
+    one = jnp.zeros_like(y).at[..., 0].set(1)
+    num = _l.sub(ys, one)
+    den = _l.add(_l.mul(_D, ys, _F), one)  # d*y^2 - a = d*y^2 + 1
+    return _l.mul(num, _isq.inverse(den), _F)
+
+
+@jax.jit
+def _from_y(y, sign):
+    """new_from_y_coord (edwards.rs:648-653): x = mod_sqrt(xx, sign).
+    Returns ((X, Y, Z, T), ok)."""
+    ok, x = _isq.mod_sqrt(_find_xx(y), sign)
+    one = jnp.zeros_like(y).at[..., 0].set(1)
+    return (x, y, one, _l.mul(x, y, _F)), ok
+
+
+# ---------------------------------------------------------------------------
+# Public classes
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdwardsPoint:
+    """Batch of points in extended coordinates; fields are int32[..., 22]."""
+
+    X: jnp.ndarray
+    Y: jnp.ndarray
+    Z: jnp.ndarray
+    T: jnp.ndarray
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def identity(cls, shape: tuple[int, ...] = ()) -> "EdwardsPoint":
+        pt = C.IDENTITY.astype(np.int32)
+        arrs = [jnp.broadcast_to(jnp.asarray(pt[i]), shape + (22,)) for i in range(4)]
+        return cls(*arrs)
+
+    @classmethod
+    def basepoint(cls, shape: tuple[int, ...] = ()) -> "EdwardsPoint":
+        pt = C.BASEPOINT.astype(np.int32)
+        arrs = [jnp.broadcast_to(jnp.asarray(pt[i]), shape + (22,)) for i in range(4)]
+        return cls(*arrs)
+
+    @classmethod
+    def from_field_elements(cls, x: FieldElement, y: FieldElement) -> "EdwardsPoint":
+        """Affine (x, y) -> extended (edwards.rs:419-438)."""
+        one = jnp.zeros_like(x.limbs).at[..., 0].set(1)
+        return cls(x.limbs, y.limbs, one, _l.mul(x.limbs, y.limbs, _F))
+
+    @classmethod
+    def new_from_y_coord(cls, y: FieldElement, sign) -> tuple["EdwardsPoint", jnp.ndarray]:
+        """(point, ok): ok is False where x^2 is a non-residue
+        (edwards.rs:648-653; batched kernels return a mask, not Option)."""
+        (X, Y, Z, T), ok = _from_y(y.limbs, jnp.asarray(sign))
+        return cls(X, Y, Z, T), ok
+
+    @classmethod
+    def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "EdwardsPoint":
+        """Random points: k*B for uniform k (always on-curve, in the prime
+        subgroup; the reference rejection-samples y instead,
+        edwards.rs:984-997)."""
+        k = Scalar.random(key, shape)
+        return cls.basepoint(shape) * k
+
+    # -- group ops ----------------------------------------------------------
+    def _tuple(self):
+        return (self.X, self.Y, self.Z, self.T)
+
+    def __add__(self, other: "EdwardsPoint") -> "EdwardsPoint":
+        return EdwardsPoint(*_add(self._tuple(), other._tuple()))
+
+    def __sub__(self, other: "EdwardsPoint") -> "EdwardsPoint":
+        return EdwardsPoint(*_add(self._tuple(), _neg(other._tuple())))
+
+    def __neg__(self) -> "EdwardsPoint":
+        return EdwardsPoint(*_neg(self._tuple()))
+
+    def double(self) -> "EdwardsPoint":
+        return EdwardsPoint(*_double(self._tuple()))
+
+    def __mul__(self, scalar: Scalar) -> "EdwardsPoint":
+        """Fixed-ladder scalar multiplication (constant 250 trips)."""
+        bits = scalar.into_bits(250)
+        return EdwardsPoint(*_scalar_mul(self._tuple(), bits))
+
+    def __rmul__(self, scalar: Scalar) -> "EdwardsPoint":
+        return self.__mul__(scalar)
+
+    def mul_by_cofactor(self) -> "EdwardsPoint":
+        """8*P via three doublings (edwards.rs:174-179)."""
+        return self.double().double().double()
+
+    def mul_by_pow_2(self, k: int) -> "EdwardsPoint":
+        """2^k * P (edwards.rs:186-191)."""
+        p = self
+        for _ in range(k):
+            p = p.double()
+        return p
+
+    def mul_raw_int(self, k: int, nbits: int = 253) -> "EdwardsPoint":
+        """Multiply by a raw python integer (order checks multiply by r
+        itself, ristretto.rs:219)."""
+        bits_np = np.array([(k >> i) & 1 for i in range(nbits)], dtype=np.int32)
+        bits = jnp.broadcast_to(jnp.asarray(bits_np), self.shape + (nbits,))
+        return EdwardsPoint(*_scalar_mul(self._tuple(), bits, nbits=nbits))
+
+    # -- observation --------------------------------------------------------
+    @property
+    def shape(self):
+        return self.X.shape[:-1]
+
+    def __getitem__(self, idx) -> "EdwardsPoint":
+        return EdwardsPoint(self.X[idx], self.Y[idx], self.Z[idx], self.T[idx])
+
+    def eq(self, other: "EdwardsPoint") -> jnp.ndarray:
+        return _eq(self._tuple(), other._tuple())
+
+    def is_valid(self) -> jnp.ndarray:
+        return _is_valid(self._tuple())
+
+    def compress(self) -> jnp.ndarray:
+        """[..., 32] uint8 CompressedEdwardsY bytes."""
+        return _compress(self._tuple())
+
+    def select(self, cond, other: "EdwardsPoint") -> "EdwardsPoint":
+        return EdwardsPoint(*_select(jnp.asarray(cond), self._tuple(), other._tuple()))
+
+    def to_affine(self) -> "AffinePoint":
+        zinv = _isq.inverse(self.Z)
+        return AffinePoint(_l.mul(self.X, zinv, _F), _l.mul(self.Y, zinv, _F))
+
+    def to_projective(self) -> "ProjectivePoint":
+        return ProjectivePoint(self.X, self.Y, self.Z)
+
+    def coset4(self) -> list["EdwardsPoint"]:
+        """The four Edwards representatives of this Ristretto coset
+        (edwards.rs:603-610)."""
+        out = [self]
+        for i in range(3):
+            t = C.FOUR_COSET_GROUP[i].astype(np.int32)
+            q = EdwardsPoint(*[jnp.broadcast_to(jnp.asarray(t[j]), self.X.shape)
+                               for j in range(4)])
+            out.append(self + q)
+        return out
+
+    def field(self, name: str) -> FieldElement:
+        return FieldElement(getattr(self, name))
+
+    def to_ints(self):
+        """Host pull: tuple of python-int coordinate arrays (tests only)."""
+        return tuple(FieldElement(c).to_ints() for c in self._tuple())
+
+    def __repr__(self):
+        return f"EdwardsPoint(shape={self.shape})"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProjectivePoint:
+    """(X:Y:Z) points (edwards.rs:666-684).  Kept for API parity; compute
+    favors extended coordinates."""
+
+    X: jnp.ndarray
+    Y: jnp.ndarray
+    Z: jnp.ndarray
+
+    @classmethod
+    def identity(cls, shape: tuple[int, ...] = ()) -> "ProjectivePoint":
+        e = EdwardsPoint.identity(shape)
+        return cls(e.X, e.Y, e.Z)
+
+    def to_extended(self) -> EdwardsPoint:
+        """(X:Y:Z) -> extended via (XZ, YZ, Z^2, XY), 3M+1S
+        (edwards.rs:402-417)."""
+        return EdwardsPoint(
+            _l.mul(self.X, self.Z, _F), _l.mul(self.Y, self.Z, _F),
+            _l.square(self.Z, _F), _l.mul(self.X, self.Y, _F))
+
+    def __add__(self, other: "ProjectivePoint") -> "ProjectivePoint":
+        """Bernstein et al. 2008 projective addition (edwards.rs:809-834)."""
+        A = _l.mul(self.Z, other.Z, _F)
+        B = _l.square(A, _F)
+        Cc = _l.mul(self.X, other.X, _F)
+        Dd = _l.mul(self.Y, other.Y, _F)
+        E = _l.mul(_D, _l.mul(Cc, Dd, _F), _F)
+        F = _l.sub(B, E)
+        G = _l.add(B, E)
+        t = _l.sub(_l.sub(_l.mul(_l.add(self.X, self.Y),
+                                 _l.add(other.X, other.Y), _F), Cc), Dd)
+        return ProjectivePoint(
+            _l.mul(A, _l.mul(F, t, _F), _F),
+            _l.mul(A, _l.mul(G, _l.add(Dd, Cc, ), _F), _F),
+            _l.mul(F, G, _F))
+
+    def __neg__(self) -> "ProjectivePoint":
+        return ProjectivePoint(_l.neg(self.X), self.Y, self.Z)
+
+    def __sub__(self, other: "ProjectivePoint") -> "ProjectivePoint":
+        return self + (-other)
+
+    def double(self) -> "ProjectivePoint":
+        """dbl-2008-bbjlp (edwards.rs:915-942), 3M+4S."""
+        B = _l.square(_l.add(self.X, self.Y), _F)
+        Cc = _l.square(self.X, _F)
+        Dd = _l.square(self.Y, _F)
+        E = _l.neg(Cc)  # a = -1
+        F = _l.add(E, Dd)
+        H = _l.square(self.Z, _F)
+        J = _l.sub(F, _l.add(H, H))
+        return ProjectivePoint(
+            _l.mul(_l.sub(_l.sub(B, Cc), Dd), J, _F),
+            _l.mul(F, _l.sub(E, Dd), _F),
+            _l.mul(F, J, _F))
+
+    def __mul__(self, scalar: Scalar) -> "ProjectivePoint":
+        return (self.to_extended() * scalar).to_projective()
+
+    def eq(self, other: "ProjectivePoint") -> jnp.ndarray:
+        ex = _l.eq(_l.mul(self.X, other.Z, _F), _l.mul(other.X, self.Z, _F), _F)
+        ey = _l.eq(_l.mul(self.Y, other.Z, _F), _l.mul(other.Y, self.Z, _F), _F)
+        return ex & ey
+
+    def is_valid(self) -> jnp.ndarray:
+        xs = _l.square(self.X, _F)
+        ys = _l.square(self.Y, _F)
+        zs = _l.square(self.Z, _F)
+        left = _l.mul(_l.sub(ys, xs), zs, _F)
+        right = _l.add(_l.square(zs, _F), _l.mul(_D, _l.mul(xs, ys, _F), _F))
+        return _l.eq(left, right, _F)
+
+    @classmethod
+    def new_from_y_coord(cls, y: FieldElement, sign) -> tuple["ProjectivePoint", jnp.ndarray]:
+        (X, Y, Z, _), ok = _from_y(y.limbs, jnp.asarray(sign))
+        return cls(X, Y, Z), ok
+
+    @property
+    def shape(self):
+        return self.X.shape[:-1]
+
+    def __repr__(self):
+        return f"ProjectivePoint(shape={self.shape})"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AffinePoint:
+    """(x, y) points, equality/validity only (edwards.rs:1000-1069)."""
+
+    X: jnp.ndarray
+    Y: jnp.ndarray
+
+    @classmethod
+    def identity(cls, shape: tuple[int, ...] = ()) -> "AffinePoint":
+        e = EdwardsPoint.identity(shape)
+        return cls(e.X, e.Y)
+
+    def eq(self, other: "AffinePoint") -> jnp.ndarray:
+        return _l.eq(self.X, other.X, _F) & _l.eq(self.Y, other.Y, _F)
+
+    def is_valid(self) -> jnp.ndarray:
+        xs = _l.square(self.X, _F)
+        ys = _l.square(self.Y, _F)
+        one = jnp.zeros_like(self.X).at[..., 0].set(1)
+        left = _l.sub(ys, xs)  # a = -1
+        right = _l.add(one, _l.mul(_D, _l.mul(xs, ys, _F), _F))
+        return _l.eq(left, right, _F)
+
+    def to_extended(self) -> EdwardsPoint:
+        one = jnp.zeros_like(self.X).at[..., 0].set(1)
+        return EdwardsPoint(self.X, self.Y, one, _l.mul(self.X, self.Y, _F))
+
+    def __neg__(self) -> "AffinePoint":
+        return AffinePoint(_l.neg(self.X), self.Y)
+
+    @property
+    def shape(self):
+        return self.X.shape[:-1]
+
+    def __repr__(self):
+        return f"AffinePoint(shape={self.shape})"
+
+
+class CompressedEdwardsY:
+    """32-byte wire format helper (edwards.rs:208-327).  Wraps a uint8
+    [..., 32] array."""
+
+    def __init__(self, b: jnp.ndarray):
+        self.bytes = jnp.asarray(b)
+
+    @classmethod
+    def identity(cls, shape: tuple[int, ...] = ()) -> "CompressedEdwardsY":
+        b = np.zeros(shape + (32,), dtype=np.uint8)
+        b[..., 0] = 1
+        return cls(jnp.asarray(b))
+
+    def decompress(self) -> tuple[EdwardsPoint, jnp.ndarray]:
+        (X, Y, Z, T), ok = _decompress(self.bytes)
+        return EdwardsPoint(X, Y, Z, T), ok
+
+    def eq(self, other: "CompressedEdwardsY") -> jnp.ndarray:
+        return jnp.all(self.bytes == other.bytes, axis=-1)
+
+    def __repr__(self):
+        return f"CompressedEdwardsY(shape={self.bytes.shape[:-1]})"
+
+
+def double_and_add(point: EdwardsPoint, scalar: Scalar) -> EdwardsPoint:
+    """Reference-named entry point (edwards.rs:102-120); on TPU both
+    double_and_add and ltr_bin_mul lower to the same fixed ladder."""
+    return point * scalar
+
+
+def ltr_bin_mul(point: EdwardsPoint, scalar: Scalar) -> EdwardsPoint:
+    """edwards.rs:122-134 (see oracle.ltr_bin_mul for the 249-bit quirk we
+    deliberately do not replicate)."""
+    return point * scalar
+
+
+def mul_by_cofactor(point: EdwardsPoint) -> EdwardsPoint:
+    return point.mul_by_cofactor()
+
+
+def mul_by_pow_2(point: EdwardsPoint, k: int) -> EdwardsPoint:
+    return point.mul_by_pow_2(k)
+
+
+@partial(jax.jit, static_argnames=("nbits",))
+def _signed_digit_mul(p, digits, nbits: int):
+    """MSB-first ladder over signed digits in {-1, 0, +1}."""
+    d_msb = jnp.moveaxis(digits, -1, 0)[::-1]
+    pn = _neg(p)
+
+    def body(Q, d):
+        Q = _double(Q)
+        Qa = _add(Q, p)
+        Qs = _add(Q, pn)
+        Q = _select(d > 0, Qa, _select(d < 0, Qs, Q))
+        return Q, None
+
+    Q, _ = jax.lax.scan(body, _identity_like(p), d_msb)
+    return Q
+
+
+def binary_naf_mul(point: EdwardsPoint, scalar: Scalar, nbits: int = 256) -> EdwardsPoint:
+    """NAF scalar-mul (edwards.rs:136-153).  Recoding runs host-side
+    (Scalar.compute_naf); the ladder is a fixed 256-trip signed-digit scan."""
+    digits = jnp.asarray(scalar.compute_naf(nbits).astype(np.int32))
+    return EdwardsPoint(*_signed_digit_mul(point._tuple(), digits, nbits))
+
+
+@partial(jax.jit, static_argnames=("nbits",))
+def _window_naf_mul(digits, nbits: int):
+    """Fixed-base windowed-NAF ladder over the regenerated basepoint
+    multiples table (edwards.rs:155-171 + constants.rs:216-973)."""
+    table = jnp.asarray(C.BASEPOINT_MULTIPLES_TABLE)  # [126, 4, 22]
+    d_msb = jnp.moveaxis(digits, -1, 0)[::-1]
+
+    def body(Q, d):
+        Q = _double(Q)
+        entry = tuple(jnp.take(table[:, i], jnp.abs(d), axis=0) for i in range(4))
+        entry = _select(d < 0, _neg(entry), entry)
+        return _add(Q, entry), None
+
+    zero = jnp.zeros(digits.shape[:-1] + (22,), dtype=jnp.int32)
+    Q, _ = jax.lax.scan(body, _identity_like((zero, zero, zero, zero)), d_msb)
+    return Q
+
+
+def window_naf_mul(scalar: Scalar, width: int, nbits: int = 256) -> EdwardsPoint:
+    """Fixed-base windowed-NAF multiplication of the basepoint
+    (edwards.rs:155-171).  width <= 7 (table holds multiples 0..125; wNAF
+    digits are odd with |d| < 2^(width-1)).  Digit 0 adds the table's
+    identity entry -- branch-free."""
+    assert 2 <= width <= 7
+    digits = jnp.asarray(scalar.compute_window_naf(width, nbits).astype(np.int32))
+    return EdwardsPoint(*_window_naf_mul(digits, nbits))

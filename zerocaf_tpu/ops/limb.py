@@ -1,0 +1,396 @@
+"""Core multi-precision limb engine: radix-2^12 x 22-limb int32 arithmetic.
+
+This is the TPU-native replacement for the reference's u64 backend
+(/root/reference/src/backend/u64/field.rs, scalar.rs).  Design differences,
+all driven by the hardware (see SURVEY.md section 7):
+
+  * TPUs have no 64x64 multiplier.  12-bit limbs keep every schoolbook
+    column sum strictly inside a signed int32 (22 partial products of
+    <= 2^24 each: < 2^28.5), so all arithmetic runs on native 32-bit
+    integer vector lanes.
+  * The reference does two Montgomery reductions per multiplication
+    (field.rs:258-261).  Here reduction exploits the pseudo-Mersenne shape
+    of both moduli: p = 2^252 + dp and r = 2^249 + dr, so
+    2^252 == -dp (mod p) and 2^252 == -8*dr (mod r), with dp, 8*dr < 2^133.
+    A 506-bit product folds to 253 bits in three constant-multiplies --
+    branch-free, fixed-shape, and it keeps values in the canonical domain
+    (no Montgomery conversion at the I/O boundary).
+  * Every data-dependent loop of the reference (binary-GCD inverse
+    field.rs:854-925, Tonelli-Shanks field.rs:357-441, double_and_add
+    edwards.rs:102-120) becomes a fixed-trip, select-based computation.
+  * Carries are delayed: elements flow between ops in *semi-reduced* form
+    (22 limbs, limbs in [-16, 4096+16], |value| < 2^253) and are only
+    canonicalized at observation boundaries (bytes, comparisons, bit
+    extraction).  Carry propagation itself is 3 data-parallel passes
+    (shift+mask+add), not a sequential ripple.
+
+Layout: limbs on the LAST axis, int32, little-endian (limb i holds bits
+12i..12i+11).  All functions broadcast over arbitrary leading batch axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import LIMB_MASK, NUM_LIMBS, RADIX_BITS
+
+MASK = LIMB_MASK
+W = RADIX_BITS
+L = NUM_LIMBS
+
+
+# ---------------------------------------------------------------------------
+# Modulus specification
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModSpec:
+    """A pseudo-Mersenne modulus m with 2^252 == -fold_c (mod m)."""
+
+    name: str
+    m: int                      # python int modulus
+    m_limbs: np.ndarray         # [22] canonical limbs of m
+    fold_c_limbs: np.ndarray    # [12] limbs of fold_c < 2^133
+    # For the scalar field r = 2^249 + dr the canonical range is below
+    # 2^249: final_fold_bits/final_c describe the last 2^249 fold.
+    final_fold_bits: int | None = None
+    final_c_limbs: np.ndarray | None = None
+
+    def __hash__(self):  # make usable as a jit static arg
+        return hash(self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, ModSpec) and self.name == other.name
+
+
+FIELD = ModSpec("field", C.P, C.P_LIMBS, C.FOLD_C_P_LIMBS)
+SCALAR = ModSpec("scalar", C.R, C.R_LIMBS, C.FOLD_C_R_LIMBS,
+                 final_fold_bits=249, final_c_limbs=C.DELTA_R_LIMBS)
+
+
+# ---------------------------------------------------------------------------
+# Carry propagation
+# ---------------------------------------------------------------------------
+
+
+def carry_keep_top(x: jnp.ndarray, extra: int = 1, passes: int = 3) -> jnp.ndarray:
+    """Data-parallel carry passes.  Pads `extra` zero limbs, then each pass
+    splits limbs 0..n-2 into (rem, carry) and adds the carry one limb up;
+    the top limb accumulates raw (it carries the sign for negative values).
+
+    After 3 passes, non-top limbs are in [-16, 4096+16] and the top limb is
+    bounded by the value bound of the caller (see module docstring).
+    Works for signed inputs: `>>` is arithmetic, `& MASK` is nonnegative.
+    """
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
+    x = jnp.pad(x, pad)
+    for _ in range(passes):
+        rem = x & MASK
+        car = x >> W
+        # keep the top limb unsplit, add the incoming carry to it
+        rem = jnp.concatenate([rem[..., :-1], x[..., -1:]], axis=-1)
+        car = jnp.concatenate([jnp.zeros_like(car[..., :1]), car[..., :-1]], axis=-1)
+        x = rem + car
+    return x
+
+
+def carry_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact sequential carry (lax.scan ripple).  Output limbs 0..n-2 are
+    canonical in [0, 4096); the top limb keeps the remaining signed value.
+    Only used at observation boundaries, never in mul-heavy inner loops."""
+    xt = jnp.moveaxis(x, -1, 0)  # [n, ...batch]
+
+    def step(c, xi):
+        t = xi + c
+        return t >> W, t & MASK
+
+    c, rems = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt[:-1])
+    top = xt[-1] + c
+    out = jnp.concatenate([rems, top[None]], axis=0)
+    return jnp.moveaxis(out, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Schoolbook products
+# ---------------------------------------------------------------------------
+
+
+def school(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full schoolbook product columns: out[k] = sum_{i+j=k} a_i * b_j.
+    Shapes [..., na] x [..., nb] -> [..., na+nb-1].  Column sums stay inside
+    int32 by the radix-2^12 carry budget (config.py)."""
+    na = a.shape[-1]
+    nb = b.shape[-1]
+    ncols = na + nb - 1
+    out = None
+    for i in range(na):
+        term = a[..., i : i + 1] * b  # [..., nb]
+        term = jnp.pad(term, [(0, 0)] * (term.ndim - 1) + [(i, ncols - nb - i)])
+        out = term if out is None else out + term
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-Mersenne reduction
+# ---------------------------------------------------------------------------
+
+FOLD_LIMB = 21  # bit 252 == limb boundary 21 * 12
+
+
+def _fold(x: jnp.ndarray, c_limbs: jnp.ndarray) -> jnp.ndarray:
+    """One fold: value(x) == value(L) - c * value(H)  (mod m), where
+    L = x[:21], H = x[21:].  Input must be semi-carried (|limbs| < ~2^17)."""
+    lo = x[..., :FOLD_LIMB]
+    hi = x[..., FOLD_LIMB:]
+    d = school(hi, jnp.asarray(c_limbs))  # [..., nh + 11]
+    ncols = max(FOLD_LIMB, d.shape[-1])
+    lo = jnp.pad(lo, [(0, 0)] * (lo.ndim - 1) + [(0, ncols - lo.shape[-1])])
+    d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, ncols - d.shape[-1])])
+    return carry_keep_top(lo - d)
+
+
+def reduce_to_semi(cols: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """Reduce product columns (up to 43 of them, int32-bounded) to the
+    semi-reduced 22-limb form with |value| < 2^253.
+
+    Width walk for a full 506-bit product: 43 -> carry 44 -> fold 35 ->
+    fold 26 -> fold 22.  Shorter inputs converge faster; the Python loop
+    runs at trace time over static shapes."""
+    x = carry_keep_top(cols)
+    while x.shape[-1] > L:
+        x = _fold(x, spec.fold_c_limbs)
+    if x.shape[-1] < L:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Semi-reduced ring ops.  Public entry points are jitted (spec is static):
+# on this class of host, eager per-op dispatch dominates wall time by orders
+# of magnitude, so even small compositions go through XLA.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=2)
+def mul(a: jnp.ndarray, b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """a * b (mod m), semi-reduced in, semi-reduced out."""
+    return reduce_to_semi(school(a, b), spec)
+
+
+@partial(jax.jit, static_argnums=1)
+def square(a: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    return mul(a, a, spec)
+
+
+@jax.jit
+def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a + b, lazy (no modular step needed: |value| grows by one bit and the
+    next mul's fold absorbs it; limb slack is restored by one carry pass)."""
+    s = a + b
+    return carry_keep_top(s, extra=0, passes=1)
+
+
+@jax.jit
+def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d = a - b
+    return carry_keep_top(d, extra=0, passes=1)
+
+
+@jax.jit
+def neg(a: jnp.ndarray) -> jnp.ndarray:
+    return carry_keep_top(-a, extra=0, passes=1)
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Branch-free limbwise select: mask is a [...]-shaped bool (no limb
+    axis); replaces the reference's subtle::ConditionallySelectable."""
+    return jnp.where(mask[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization & observation
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=1)
+def canonical(x: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """Semi-reduced -> canonical [0, m) with exact limbs in [0, 4096).
+
+    Accepts any 22-limb value in (-2^255, 2^255) (a few adds/subs beyond the
+    mul-output range):
+      1. exact carry; if negative, add 64*m (64m > 2^255 for both moduli)
+      2. fold the bits above the modulus' power (252 for p, 249 for r):
+         v = low + h*2^k == low - h*c (mod m) with h small
+      3. the result is in (-2^140, 2^k) subset (-m, m): one conditional add.
+    """
+    kbits = spec.final_fold_bits if spec.final_fold_bits is not None else 252
+    c_limbs = spec.final_c_limbs if spec.final_c_limbs is not None else spec.fold_c_limbs
+
+    x = carry_exact(x)
+    negv = x[..., -1] < 0
+    x = x + jnp.where(negv[..., None], jnp.asarray(_shift_limbs(spec.m, 6)), 0)
+    x = carry_exact(x)  # nonneg, < 2^255 + 64m < 2^259
+
+    # extract h = x >> kbits and low = x mod 2^kbits (kbits may straddle a limb)
+    limb_i, bit_i = divmod(kbits, W)
+    if bit_i == 0:
+        h = x[..., limb_i]
+        lo = jnp.concatenate(
+            [x[..., :limb_i],
+             jnp.zeros_like(x[..., : L - limb_i])], axis=-1)
+    else:
+        h = (x[..., limb_i] >> bit_i) + (x[..., limb_i + 1] << (W - bit_i))
+        lo = jnp.concatenate(
+            [x[..., :limb_i], (x[..., limb_i] & ((1 << bit_i) - 1))[..., None],
+             jnp.zeros_like(x[..., : L - limb_i - 1])], axis=-1)
+    # h < 2^10; c < 2^133 -> h*c < 2^143
+    d = school(h[..., None], jnp.asarray(c_limbs))
+    d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, L - d.shape[-1])])
+    y = carry_exact(lo - d)
+    negv = y[..., -1] < 0
+    y = y + jnp.where(negv[..., None], jnp.asarray(spec.m_limbs), 0)
+    return carry_exact(y)
+
+
+def _shift_limbs(v: int, sh: int) -> np.ndarray:
+    from .. import oracle
+
+    return np.array(oracle.int_to_limbs(v << sh, n=L), dtype=np.int32)
+
+
+@partial(jax.jit, static_argnums=2)
+def eq(a: jnp.ndarray, b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """Canonical equality (the reference compares canonical bytes,
+    field.rs:93-106)."""
+    ca = canonical(a, spec)
+    cb = canonical(b, spec)
+    return jnp.all(ca == cb, axis=-1)
+
+
+@partial(jax.jit, static_argnums=1)
+def is_zero(a: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    return jnp.all(canonical(a, spec) == 0, axis=-1)
+
+
+def geq_const(x_canonical: jnp.ndarray, bound_limbs: np.ndarray) -> jnp.ndarray:
+    """x >= bound for canonical x, branch-free lexicographic compare."""
+    b = jnp.asarray(bound_limbs)
+    gt = x_canonical > b
+    lt = x_canonical < b
+    # scan from most significant: first differing limb decides
+    result = jnp.zeros(x_canonical.shape[:-1], dtype=bool)
+    decided = jnp.zeros(x_canonical.shape[:-1], dtype=bool)
+    for i in reversed(range(x_canonical.shape[-1])):
+        result = jnp.where(~decided & gt[..., i], True, result)
+        decided = decided | gt[..., i] | lt[..., i]
+    return result | ~decided  # equal counts as >=
+
+
+# ---------------------------------------------------------------------------
+# Byte codecs (canonical little-endian 32 bytes; field.rs:563-631)
+# ---------------------------------------------------------------------------
+
+_BIT_W8 = np.asarray(1 << np.arange(8), dtype=np.int32)
+_BIT_W12 = np.asarray(1 << np.arange(12), dtype=np.int32)
+
+
+def bytes_to_limbs(b: jnp.ndarray) -> jnp.ndarray:
+    """[..., 32] uint8 -> [..., 22] int32 holding the raw 256-bit value
+    (not reduced; limb 21 holds bits 252..255)."""
+    bits = (b.astype(jnp.int32)[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+    bits = bits.reshape(*b.shape[:-1], 256)
+    bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, L * W - 256)])
+    groups = bits.reshape(*b.shape[:-1], L, W)
+    return jnp.sum(groups * jnp.asarray(_BIT_W12), axis=-1, dtype=jnp.int32)
+
+
+def limbs_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., 22] canonical int32 limbs -> [..., 32] uint8 little-endian."""
+    bits = (x[..., None] >> jnp.arange(W, dtype=jnp.int32)) & 1
+    bits = bits.reshape(*x.shape[:-1], L * W)[..., :256]
+    groups = bits.reshape(*x.shape[:-1], 32, 8)
+    return jnp.sum(groups * jnp.asarray(_BIT_W8), axis=-1, dtype=jnp.int32).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=1)
+def from_bytes(b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """Decode 32 LE bytes to a semi-reduced element (reduces the raw 256-bit
+    value mod m, matching the reference's behavior-after-first-op)."""
+    return reduce_to_semi(bytes_to_limbs(b), spec)
+
+
+@partial(jax.jit, static_argnums=1)
+def to_bytes(x: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    return limbs_to_bytes(canonical(x, spec))
+
+
+# ---------------------------------------------------------------------------
+# Bit extraction (for ladders) and small-int embedding
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def to_bits(x: jnp.ndarray, spec: ModSpec, nbits: int = 256) -> jnp.ndarray:
+    """Canonical LSB-first bits [..., nbits] (scalar.rs:352-366)."""
+    xc = canonical(x, spec)
+    bits = (xc[..., None] >> jnp.arange(W, dtype=jnp.int32)) & 1
+    return bits.reshape(*x.shape[:-1], L * W)[..., :nbits]
+
+
+def from_int(v: int, spec: ModSpec) -> jnp.ndarray:
+    """Embed a python int as a constant element (canonical limbs)."""
+    from .. import oracle
+
+    return jnp.asarray(np.array(oracle.int_to_limbs(v % spec.m), dtype=np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-exponent powering (replaces every variable-trip loop)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def pow_const(a: jnp.ndarray, e: int, spec: ModSpec) -> jnp.ndarray:
+    """a^e for a Python-int exponent.  MSB-first square-and-multiply as a
+    lax.scan over the (static) exponent bits: the compiled graph is one
+    square+multiply body regardless of exponent size -- important because
+    XLA compile time, not FLOPs, dominates 253-bit exponent chains.
+    Replaces the reference's data-dependent pow loop (field.rs:325-355)."""
+    assert e >= 0
+    if e == 0:
+        return jnp.broadcast_to(from_int(1, spec), a.shape).astype(jnp.int32)
+    bits = np.array([int(b) for b in bin(e)[2:]], dtype=np.int32)  # MSB-first
+
+    def body(res, bit):
+        res = square(res, spec)
+        res = select(bit.astype(bool), mul(res, a, spec), res)
+        return res, None
+
+    one = jnp.broadcast_to(from_int(1, spec), a.shape).astype(jnp.int32)
+    res, _ = jax.lax.scan(body, one, jnp.asarray(bits))
+    return res
+
+
+@partial(jax.jit, static_argnums=2)
+def pow_batched(a: jnp.ndarray, e_bits: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """a^e for per-element exponents given as LSB-first bits [..., nbits].
+    Fixed 253-trip ladder with selects (constant trip count for XLA)."""
+    nbits = e_bits.shape[-1]
+    one = jnp.broadcast_to(from_int(1, spec), a.shape).astype(jnp.int32)
+
+    def body(carrystate, bit):
+        res, base = carrystate
+        res = select(bit.astype(bool), mul(res, base, spec), res)
+        base = square(base, spec)
+        return (res, base), None
+
+    bits_first = jnp.moveaxis(e_bits, -1, 0)  # [nbits, ...]
+    (res, _), _ = jax.lax.scan(body, (one, a), bits_first)
+    return res

@@ -1,0 +1,195 @@
+"""Multi-scalar multiplication: batched Pippenger, sharded over a device mesh.
+
+The reference has no MSM; its closest seeds are per-point double_and_add
+(edwards.rs:102-120) and the wNAF + table machinery (edwards.rs:155-171,
+constants.rs:216-973).  This module is the flagship multi-chip workload
+(BASELINE.json configs 4-5): sum(k_i * P_i) over up to 2^20 points.
+
+TPU shape of the algorithm (SURVEY.md section 7 "Pippenger bucket scatter"):
+
+  * scalars decompose into `nwin` unsigned windows of `c` bits (device-side
+    bit slicing, no host recoding);
+  * per window, points are *sorted by digit* (TPUs have no efficient
+    scatter; sort + segmented scan replaces atomics/buckets);
+  * a segmented inclusive scan with the EC unified addition as the monoid
+    (jax.lax.associative_scan over the point pytree) produces each digit
+    group's sum at its segment end -- log2(N) batched-add rounds;
+  * segment ends scatter (duplicate-free) into the [nwin, 2^c] bucket table;
+  * the classic descending running-sum turns buckets into window sums,
+    batched across all windows at once (2*(2^c-1) steps of [nwin]-lane adds);
+  * Horner over windows merges into the final point.
+
+Sharding: each device runs local Pippenger on its shard of points for all
+windows, producing ONE partial point; partials are all_gathered (4x22 int32
+per device -- bytes, not megabytes, over ICI) and tree-reduced locally.
+EC arithmetic is exact integer math, so any reduction order is bit-exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import edwards as _ed
+from ..models.edwards import EdwardsPoint
+from ..scalar import Scalar
+from .comm import Communicator
+
+# Default window width: 250 bits / 8 -> 32 windows, 256 buckets.
+DEFAULT_C = 8
+
+
+def _shift_down(arr, dist, fill):
+    """arr[i] <- arr[i - dist] with `fill` rows shifted in; dist is traced."""
+    n = arr.shape[0]
+    pad = jnp.broadcast_to(fill, (n,) + arr.shape[1:]).astype(arr.dtype)
+    padded = jnp.concatenate([pad, arr], axis=0)
+    return jax.lax.dynamic_slice_in_dim(padded, n - dist, n, axis=0)
+
+
+def _segmented_scan_points(pts, starts):
+    """Inclusive segmented sum-scan with the EC addition monoid.
+
+    Hillis-Steele over lax.fori_loop: the compiled graph holds ONE combine
+    (an associative_scan would inline ~2N EC adds and blow up XLA compile
+    time); runtime does ceil(log2(N)) batched rounds.
+
+    pts: point pytree with [N, 22] coords; starts: [N] int32 segment-start
+    flags.  Returns pts' where each segment's last element holds its sum."""
+    n = starts.shape[0]
+    nsteps = max(1, (n - 1).bit_length())
+    ident = _ed._identity_like(pts)
+
+    def body(d, carry):
+        p, f = carry
+        dist = jnp.int32(1) << d
+        p_l = tuple(_shift_down(c, dist, ic[0]) for c, ic in zip(p, ident))
+        f_l = _shift_down(f, dist, jnp.zeros((), jnp.int32))
+        merged = _ed._add(p_l, p)
+        keep = f.astype(bool)  # element starts a segment: do not accumulate
+        p = _ed._select(keep, p, merged)
+        return p, f | f_l
+
+    pts, _ = jax.lax.fori_loop(0, nsteps, body, (pts, starts))
+    return pts
+
+
+def _tree_reduce(points):
+    """Reduce [M, ..., 22] stacked points with balanced batched adds."""
+    m = points[0].shape[0]
+    while m > 1:
+        half = m // 2
+        even = tuple(c[: 2 * half : 2] for c in points)
+        odd = tuple(c[1 : 2 * half : 2] for c in points)
+        merged = _ed._add(even, odd)
+        if m % 2:
+            merged = tuple(jnp.concatenate([mc, c[-1:]], axis=0)
+                           for mc, c in zip(merged, points))
+        points = merged
+        m = points[0].shape[0]
+    return tuple(c[0] for c in points)
+
+
+@partial(jax.jit, static_argnames=("c", "nwin"))
+def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
+    """Local Pippenger over one shard.
+
+    pt: point pytree, coords [N, 22]; windows: [N, nwin] int32 digits.
+    Returns a single point pytree ([22] coords)."""
+    N = windows.shape[0]
+    nbuckets = 1 << c
+
+    def one_window(w):
+        digits = windows[:, w]
+        order = jnp.argsort(digits)
+        d_sorted = digits[order]
+        p_sorted = tuple(coord[order] for coord in pt)
+        # segment start flags
+        starts = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
+        summed = _segmented_scan_points(p_sorted, starts)
+        # segment ends hold the bucket sums
+        ends = jnp.concatenate(
+            [(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)])
+        # scatter: bucket[digit[end]] = summed[end]; indices are duplicate-free
+        # by construction (one end per digit value).  Unwritten buckets stay
+        # identity; the digit-0 bucket is never consumed downstream.
+        idx = jnp.where(ends, d_sorted, nbuckets)  # parked rows -> dropped
+        buckets = tuple(
+            jnp.zeros((nbuckets + 1, 22), jnp.int32)
+            .at[:, 0].set(ident_limb0)  # identity coords: (0, 1, 1, 0)
+            .at[idx].set(coord)
+            for coord, ident_limb0 in zip(summed, (0, 1, 1, 0)))
+        return tuple(b[:nbuckets] for b in buckets)
+
+    # [nwin, nbuckets, 22] bucket tables, all windows batched
+    tables = jax.vmap(one_window, out_axes=0)(jnp.arange(nwin))
+
+    # descending running sum: W = sum_b b * S_b
+    def bucket_step(carry, b_rev):
+        acc, tot = carry
+        sb = tuple(t[:, b_rev] for t in tables)  # [nwin, 22]
+        acc = _ed._add(acc, sb)
+        tot = _ed._add(tot, acc)
+        return (acc, tot), None
+
+    ident_w = _ed._identity_like(tuple(t[:, 0] for t in tables))
+    (acc, tot), _ = jax.lax.scan(
+        bucket_step, (ident_w, ident_w), jnp.arange(nbuckets - 1, 0, -1))
+
+    # Horner over windows (MSB window first): T = 2^c * T + W_w
+    def horner_step(T, w_rev):
+        for _ in range(c):
+            T = _ed._double(T)
+        Ww = tuple(t[w_rev] for t in tot)
+        return _ed._add(T, Ww), None
+
+    ident1 = _ed._identity_like(tuple(t[0] for t in tot))
+    T, _ = jax.lax.scan(horner_step, ident1, jnp.arange(nwin - 1, -1, -1))
+    return T
+
+
+def msm(points: EdwardsPoint, scalars: Scalar, c: int = DEFAULT_C) -> EdwardsPoint:
+    """Single-device MSM: sum(k_i * P_i) (BASELINE.json config 3-4)."""
+    nwin = -(-250 // c)
+    windows = scalars.windows(c, nwin)
+    pt = points._tuple()
+    return EdwardsPoint(*_msm_local(pt, windows, c=c, nwin=nwin))
+
+
+def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
+                c: int = DEFAULT_C, axis: str = "data") -> EdwardsPoint:
+    """Mesh-sharded MSM: points/scalars sharded over `axis`, one partial
+    point per device, all_gather + tree-reduce (bit-exact in any order).
+
+    N must be divisible by the mesh size."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    nwin = -(-250 // c)
+    windows = scalars.windows(c, nwin)
+    pt = points._tuple()
+    comm = Communicator(axis)
+
+    def local(pt_shard, win_shard):
+        partial_pt = _msm_local(pt_shard, win_shard, c=c, nwin=nwin)
+        gathered = comm.all_gather_points(tuple(x[None] for x in partial_pt))
+        gathered = tuple(g.reshape(-1, 22) for g in gathered)
+        return _tree_reduce(gathered)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(P(axis) for _ in range(4)), P(axis)),
+        out_specs=tuple(P() for _ in range(4)),
+        check_rep=False)
+    return EdwardsPoint(*fn(pt, windows))
+
+
+def msm_naive(points: EdwardsPoint, scalars: Scalar) -> EdwardsPoint:
+    """Ladder-per-point + tree reduction; O(N * 250) adds.  Used as a
+    cross-check and as the baseline the Pippenger path must beat."""
+    prods = points * scalars
+    return EdwardsPoint(*_tree_reduce(prods._tuple()))

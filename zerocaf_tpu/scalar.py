@@ -1,0 +1,201 @@
+"""Batched scalars mod r = 2^249 + 14490550575682688738086195780655237219.
+
+The TPU analogue of the reference's Scalar (scalar.rs:61-113 facade over
+backend/u64/scalar.rs).  Same limb machinery as the field, parameterized by
+the subgroup prime; adds the scalar recodings (bits / NAF / windowed NAF,
+scalar.rs:352-442) which run host-side as preprocessing that feeds
+fixed-length digit arrays to the point-multiplication kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from . import oracle
+from .ops import limb as _l
+from .ops.limb import SCALAR as _SPEC
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scalar:
+    limbs: jnp.ndarray  # int32[..., 22]
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_int(cls, v: int | Any) -> "Scalar":
+        if isinstance(v, (list, tuple, np.ndarray)):
+            arr = np.stack([oracle.int_to_limbs(int(x) % C.R) for x in np.ravel(v)])
+            arr = arr.reshape(*np.shape(v), 22).astype(np.int32)
+            return cls(jnp.asarray(arr))
+        return cls(jnp.asarray(np.array(oracle.int_to_limbs(int(v) % C.R), dtype=np.int32)))
+
+    @classmethod
+    def zero(cls) -> "Scalar":
+        return cls.from_int(0)
+
+    @classmethod
+    def one(cls) -> "Scalar":
+        return cls.from_int(1)
+
+    @classmethod
+    def minus_one(cls) -> "Scalar":
+        return cls.from_int(C.R - 1)
+
+    @classmethod
+    def two_pow_k(cls, k: int) -> "Scalar":
+        assert 0 <= k < 250
+        return cls.from_int(1 << k)
+
+    @classmethod
+    def from_bytes(cls, b: jnp.ndarray) -> tuple["Scalar", jnp.ndarray]:
+        """[..., 32] uint8 LE -> (scalars, canonical_mask).  The reference
+        *asserts* canonicality (scalar.rs:445-467); batched kernels return a
+        mask instead (the value is reduced mod r either way)."""
+        raw = _l.bytes_to_limbs(jnp.asarray(b))
+        s = _l.reduce_to_semi(raw, _SPEC)
+        # canonical iff re-encoding reproduces the input bytes
+        mask = jnp.all(_l.to_bytes(s, _SPEC) == jnp.asarray(b), axis=-1)
+        return cls(s), mask
+
+    @classmethod
+    def from_bytes_wide(cls, b: jnp.ndarray) -> "Scalar":
+        """[..., 64] uint8 -> 512-bit reduction mod r.  Unimplemented in the
+        reference (scalar.rs:470-474); provided here."""
+        b = jnp.asarray(b)
+        lo = _l.from_bytes(b[..., :32], _SPEC)
+        hi = _l.from_bytes(b[..., 32:], _SPEC)
+        shift = jnp.asarray(np.array(oracle.int_to_limbs(pow(2, 256, C.R)), dtype=np.int32))
+        return cls(_l.add(_l.mul(hi, shift, _SPEC), lo))
+
+    @classmethod
+    def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "Scalar":
+        """Uniform scalars via wide reduction (the reference masks top bits,
+        scalar.rs:95-110 -- approximate; this is exact-uniform)."""
+        raw = jax.random.bits(key, shape + (64,), dtype=jnp.uint8)
+        return cls.from_bytes_wide(raw)
+
+    # -- shape plumbing -----------------------------------------------------
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.limbs.shape[:-1]
+
+    def __getitem__(self, idx) -> "Scalar":
+        return Scalar(self.limbs[idx])
+
+    def broadcast_to(self, shape) -> "Scalar":
+        return Scalar(jnp.broadcast_to(self.limbs, tuple(shape) + (22,)).astype(jnp.int32))
+
+    # -- ring ops (scalar.rs:184-322) --------------------------------------
+    def __add__(self, other: "Scalar") -> "Scalar":
+        return Scalar(_l.add(self.limbs, other.limbs))
+
+    def __sub__(self, other: "Scalar") -> "Scalar":
+        return Scalar(_l.sub(self.limbs, other.limbs))
+
+    def __neg__(self) -> "Scalar":
+        return Scalar(_l.neg(self.limbs))
+
+    def __mul__(self, other: "Scalar") -> "Scalar":
+        return Scalar(_l.mul(self.limbs, other.limbs, _SPEC))
+
+    def square(self) -> "Scalar":
+        return Scalar(_l.square(self.limbs, _SPEC))
+
+    def half(self) -> "Scalar":
+        """x/2 mod r (scalar.rs:285-291)."""
+        return self * Scalar(jnp.asarray(np.array(
+            oracle.int_to_limbs(C.SCALAR_INVERSE_MOD_TWO), dtype=np.int32)))
+
+    def inverse(self) -> "Scalar":
+        """r is prime, so Fermat applies (no inverse in the reference API;
+        needed by protocol layers)."""
+        return Scalar(_l.pow_const(self.limbs, C.R - 2, _SPEC))
+
+    def pow(self, exp) -> "Scalar":
+        if isinstance(exp, int):
+            return Scalar(_l.pow_const(self.limbs, exp, _SPEC))
+        bits = _l.to_bits(exp.limbs, _SPEC, 250)
+        return Scalar(_l.pow_batched(self.limbs, bits, _SPEC))
+
+    # -- observation --------------------------------------------------------
+    def canonical(self) -> "Scalar":
+        return Scalar(_l.canonical(self.limbs, _SPEC))
+
+    def to_bytes(self) -> jnp.ndarray:
+        return _l.to_bytes(self.limbs, _SPEC)
+
+    def eq(self, other: "Scalar") -> jnp.ndarray:
+        return _l.eq(self.limbs, other.limbs, _SPEC)
+
+    def is_zero(self) -> jnp.ndarray:
+        return _l.is_zero(self.limbs, _SPEC)
+
+    def is_even(self) -> jnp.ndarray:
+        """scalar.rs:346-348."""
+        return (_l.canonical(self.limbs, _SPEC)[..., 0] & 1) == 0
+
+    def select(self, cond, other: "Scalar") -> "Scalar":
+        return Scalar(_l.select(jnp.asarray(cond), self.limbs, other.limbs))
+
+    # -- recodings: device bits, host NAF ------------------------------------
+    def into_bits(self, nbits: int = 250) -> jnp.ndarray:
+        """LSB-first bits [..., nbits] int32, on device (scalar.rs:352-366).
+        250 bits cover every canonical scalar (r < 2^250)."""
+        return _l.to_bits(self.limbs, _SPEC, nbits)
+
+    def to_ints(self):
+        arr = np.asarray(self.canonical().limbs)
+        if arr.ndim == 1:
+            return oracle.limbs_to_int(arr)
+        flat = arr.reshape(-1, 22)
+        out = np.empty(flat.shape[0], dtype=object)
+        for i, row in enumerate(flat):
+            out[i] = oracle.limbs_to_int(row)
+        return out.reshape(arr.shape[:-1])
+
+    def compute_naf(self, nbits: int = 256) -> np.ndarray:
+        """Host-side NAF recoding [..., nbits] int8 (scalar.rs:370-389).
+        Recoding is sequential preprocessing that feeds fixed-length digit
+        arrays to the device kernels; it runs in the native C++ engine when
+        built (native/recode.cpp), else pure Python."""
+        from . import native
+        return native.naf(np.asarray(self.to_bytes()), nbits)
+
+    def compute_window_naf(self, width: int, nbits: int = 256) -> np.ndarray:
+        """Host-side windowed NAF [..., nbits] int8 (scalar.rs:391-415)."""
+        from . import native
+        return native.wnaf(np.asarray(self.to_bytes()), width, nbits)
+
+    def mod_2_pow_k(self, k: int) -> jnp.ndarray:
+        """scalar (mod 2^k), k <= 12 (scalar.rs:423-425)."""
+        assert 0 < k <= 12
+        return _l.canonical(self.limbs, _SPEC)[..., 0] & ((1 << k) - 1)
+
+    def mods_2_pow_k(self, w: int) -> jnp.ndarray:
+        """Signed residue in [-2^(w-1), 2^(w-1)) (scalar.rs:433-442)."""
+        assert 0 < w <= 12
+        m = self.mod_2_pow_k(w)
+        return jnp.where(m >= (1 << (w - 1)), m - (1 << w), m)
+
+    def windows(self, width: int, nwin: int | None = None) -> jnp.ndarray:
+        """Unsigned fixed-width windows [..., nwin] int32 (digit i = bits
+        [i*w, (i+1)*w)), on device -- the Pippenger digit decomposition."""
+        bits = self.into_bits(250 if nwin is None else nwin * width)
+        n = bits.shape[-1]
+        pad = (-n) % width
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+        groups = bits.reshape(*bits.shape[:-1], -1, width)
+        w = jnp.asarray((1 << np.arange(width)).astype(np.int32))
+        return jnp.sum(groups * w, axis=-1, dtype=jnp.int32)
+
+    def __repr__(self) -> str:
+        return f"Scalar(shape={self.shape})"
+
+
