@@ -26,17 +26,19 @@ from ..limb import FIELD, SCALAR, ModSpec
 L = 22
 W = 12
 MASK = (1 << W) - 1
-LANES = 128
+LANES = 2048  # lanes per grid block; large blocks amortize per-program overhead
 SUBLANE_PAD = 24  # pad 22 limbs to a multiple of 8 for clean (8, 128) tiles
 
 
 def _school_cols(a, b, na, nb):
-    """Full product columns on [rows, N] blocks: out[k] = sum a_i*b_{k-i}."""
+    """Full product columns on [rows, N] blocks: out[k] = sum a_i*b_{k-i}.
+    Pad-and-sum form (Mosaic has no scatter-add)."""
     ncols = na + nb - 1
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    out = jnp.zeros((ncols,) + batch, jnp.int32)
+    out = None
     for i in range(na):
-        out = out.at[i : i + nb].add(a[i : i + 1] * b[:nb])
+        term = a[i : i + 1] * b[:nb]
+        term = jnp.pad(term, [(i, ncols - nb - i)] + [(0, 0)] * (term.ndim - 1))
+        out = term if out is None else out + term
     return out
 
 
@@ -59,10 +61,12 @@ def _fold_once(x, c_limbs):
     lo = x[:21]
     hi = x[21:]
     nh = hi.shape[0]
-    d = jnp.zeros((len(c_limbs) + nh - 1,) + hi.shape[1:], jnp.int32)
+    nd = len(c_limbs) + nh - 1
+    d = None
     for i, ci in enumerate(c_limbs):
         if ci:
-            d = d.at[i : i + nh].add(ci * hi)
+            term = jnp.pad(ci * hi, [(i, nd - nh - i)] + [(0, 0)] * (hi.ndim - 1))
+            d = term if d is None else d + term
     ncols = max(21, d.shape[0])
     lo = jnp.pad(lo, [(0, ncols - lo.shape[0])] + [(0, 0)] * (lo.ndim - 1))
     d = jnp.pad(d, [(0, ncols - d.shape[0])] + [(0, 0)] * (d.ndim - 1))
