@@ -44,15 +44,23 @@ def main() -> None:
         ts.sort()
         return ts[len(ts) // 2]
 
-    # --- headline: batched variable-base scalar-mul (ladder) + measurements
+    # --- headline: batched variable-base scalar-mul (4-bit fixed windows)
     base = jnp.asarray(np.broadcast_to(C.BASEPOINT.astype(np.int32),
                                        (batch, 4, 22)).copy())
     bits = jnp.asarray(rng.integers(0, 2, size=(batch, 250)).astype(np.int32))
+    win4 = jnp.asarray(rng.integers(0, 16, size=(batch, 63)).astype(np.int32))
+    win8 = jnp.asarray(rng.integers(0, 256, size=(batch, 32)).astype(np.int32))
     pt = tuple(base[:, i] for i in range(4))
 
-    smul = jax.jit(lambda p, b: ed._scalar_mul(p, b))
-    t_smul = timeit(smul, pt, bits)
+    smul = jax.jit(lambda p, w: ed._scalar_mul_windowed(p, w, 4))
+    t_smul = timeit(smul, pt, win4)
     scalar_mults_per_sec = batch / t_smul
+
+    ladder = jax.jit(lambda p, b: ed._scalar_mul(p, b))
+    t_ladder = timeit(ladder, pt, bits)
+
+    fixed = jax.jit(lambda w: ed._fixed_base_mul(w))
+    t_fixed = timeit(fixed, win8)
 
     # --- secondary: field mul throughput (2^16 lanes)
     fb = 1 << 16
@@ -76,7 +84,10 @@ def main() -> None:
         "batch": batch,
         "field_muls_per_sec": round(field_muls_per_sec, 1),
         "ristretto_encodes_per_sec": round(encodes_per_sec, 1),
-        "ladder_ms": round(t_smul * 1e3, 3),
+        "windowed_ms": round(t_smul * 1e3, 3),
+        "ladder_ms": round(t_ladder * 1e3, 3),
+        "ladder_mults_per_sec": round(batch / t_ladder, 1),
+        "fixed_base_mults_per_sec": round(batch / t_fixed, 1),
     }
     print(json.dumps(result))
 

@@ -10,7 +10,7 @@ echo "== native build =="
 ./native/build.sh
 
 echo "== constants verification =="
-python tools/constants_gen.py > /dev/null && echo ok
+python tools/constants_gen.py > /dev/null && python tools/derive_curve.py > /dev/null && echo ok
 
 echo "== tests (serial groups) =="
 python -m pytest tests/test_oracle.py tests/test_constants.py -q

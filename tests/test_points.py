@@ -139,6 +139,20 @@ class TestEdwards:
         got = binary_naf_mul(p, k)
         assert_points_eq(got, [o.scalar_mul(a, kk) for a, kk in zip(pts, ks)])
 
+    def test_windowed_variable_base(self):
+        p, pts = batch_points(BASE_PTS)
+        ks = [8, 1, 0, o.R - 1, (1 << 215), 12345, 7, 2]
+        k = Scalar.from_int(np.array(ks, dtype=object))
+        got = p.mul_windowed(k, 4)
+        assert np.asarray(got.eq(p * k)).all()
+        assert_points_eq(got, [o.scalar_mul(a, kk) for a, kk in zip(pts, ks)])
+
+    def test_fixed_base_comb(self):
+        ks = [0, 1, 8, o.R - 1, 12345, 2, 3, (1 << 249)]
+        k = Scalar.from_int(np.array(ks, dtype=object))
+        got = EdwardsPoint.basepoint_mul(k)
+        assert_points_eq(got, [o.scalar_mul(o.BASEPOINT, kk % o.R) for kk in ks])
+
     def test_window_naf_fixed_base(self):
         ks = [7, 1122334455, o.R - 1, 3, 8, 1, 0, 255]
         k = Scalar.from_int(np.array(ks, dtype=object))

@@ -109,6 +109,79 @@ def _scalar_mul(p, bits, nbits: int = 250):
     return Q
 
 
+@partial(jax.jit, static_argnames=("width",))
+def _scalar_mul_windowed(p, windows, width: int = 4):
+    """Fixed-window variable-base multiplication: per-lane table of the
+    2^width small multiples, then ceil(250/width) rounds of (width doublings
+    + one table-gather add).  ~1.7x fewer point ops than the plain ladder;
+    the gather index is the (secret) digit, so prefer `_scalar_mul` when
+    strict access-pattern obliviousness matters."""
+    nbuckets = 1 << width
+    tbl = [_identity_like(p), p]
+    for _ in range(2, nbuckets):
+        tbl.append(_add(tbl[-1], p))
+    T = tuple(jnp.stack([t[i] for t in tbl], axis=-2) for i in range(4))  # [..., 2^w, 22]
+
+    w_msb = jnp.moveaxis(windows, -1, 0)[::-1]
+
+    def body(Q, d):
+        for _ in range(width):
+            Q = _double(Q)
+        entry = tuple(
+            jnp.take_along_axis(Tc, d[..., None, None], axis=-2).squeeze(-2)
+            for Tc in T)
+        return _add(Q, entry), None
+
+    Q, _ = jax.lax.scan(body, _identity_like(p), w_msb)
+    return Q
+
+
+_FIXED_BASE_TABLE = None
+
+
+def _fixed_base_table() -> np.ndarray:
+    """[32, 256, 4, 22] int32: T[w][d] = d * 2^(8w) * B, computed once from
+    the oracle.  2.9 MB; lives in HBM as a jit constant.  This is the comb
+    generalization of the reference's 126-entry fixed-base table
+    (constants.rs:216-973)."""
+    global _FIXED_BASE_TABLE
+    if _FIXED_BASE_TABLE is None:
+        from .. import oracle as o
+
+        out = np.zeros((32, 256, 4, 22), dtype=np.int32)
+        base_w = o.BASEPOINT
+        for w in range(32):
+            acc = o.IDENTITY
+            for d in range(256):
+                for ci, cv in enumerate(acc):
+                    out[w, d, ci] = o.int_to_limbs(cv)
+                acc = o.point_add(acc, base_w)
+            base_w = acc  # acc == 256 * base_w == 2^(8(w+1)) * B
+        _FIXED_BASE_TABLE = out
+    return _FIXED_BASE_TABLE
+
+
+@jax.jit
+def _fixed_base_mul(windows8):
+    """Fixed-base comb multiplication: B*k = sum_w T[w][digit_w] -- 31 point
+    additions and 32 table gathers, no doublings.  windows8: [..., 32] int32
+    8-bit digits (LSB-first)."""
+    tbl = jnp.asarray(_fixed_base_table())  # [32, 256, 4, 22]
+
+    def body(Q, wd):
+        w, d = wd
+        entry_all = tbl[w]  # [256, 4, 22]
+        entry = tuple(jnp.take(entry_all[:, i], d, axis=0) for i in range(4))
+        return _add(Q, entry), None
+
+    d0 = windows8[..., 0]
+    Q0 = tuple(jnp.take(tbl[0][:, i], d0, axis=0) for i in range(4))
+    ws = jnp.arange(1, 32)
+    ds = jnp.moveaxis(windows8[..., 1:], -1, 0)
+    Q, _ = jax.lax.scan(body, Q0, (ws, ds))
+    return Q
+
+
 @jax.jit
 def _eq(p, q):
     """Projective equality: X1*Z2 == X2*Z1 and Y1*Z2 == Y2*Z1
@@ -220,6 +293,13 @@ class EdwardsPoint:
         return cls(X, Y, Z, T), ok
 
     @classmethod
+    def basepoint_mul(cls, scalar: Scalar) -> "EdwardsPoint":
+        """B*k via the fixed-base comb table: 31 adds, no doublings (the
+        high-throughput keygen path; generalizes window_naf_mul +
+        BASEPOINT_ODD_MULTIPLES_TABLE, edwards.rs:155-171)."""
+        return cls(*_fixed_base_mul(scalar.windows(8, 32)))
+
+    @classmethod
     def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "EdwardsPoint":
         """Random points: k*B for uniform k (always on-curve, in the prime
         subgroup; the reference rejection-samples y instead,
@@ -247,6 +327,12 @@ class EdwardsPoint:
         """Fixed-ladder scalar multiplication (constant 250 trips)."""
         bits = scalar.into_bits(250)
         return EdwardsPoint(*_scalar_mul(self._tuple(), bits))
+
+    def mul_windowed(self, scalar: Scalar, width: int = 4) -> "EdwardsPoint":
+        """Faster fixed-window multiplication (see _scalar_mul_windowed)."""
+        nwin = -(-250 // width)
+        return EdwardsPoint(*_scalar_mul_windowed(
+            self._tuple(), scalar.windows(width, nwin), width))
 
     def __rmul__(self, scalar: Scalar) -> "EdwardsPoint":
         return self.__mul__(scalar)

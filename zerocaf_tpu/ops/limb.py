@@ -80,13 +80,14 @@ SCALAR = ModSpec("scalar", C.R, C.R_LIMBS, C.FOLD_C_R_LIMBS,
 # ---------------------------------------------------------------------------
 
 
-def carry_keep_top(x: jnp.ndarray, extra: int = 1, passes: int = 3) -> jnp.ndarray:
+def carry_keep_top(x: jnp.ndarray, extra: int = 1, passes: int = 2) -> jnp.ndarray:
     """Data-parallel carry passes.  Pads `extra` zero limbs, then each pass
     splits limbs 0..n-2 into (rem, carry) and adds the carry one limb up;
     the top limb accumulates raw (it carries the sign for negative values).
 
-    After 3 passes, non-top limbs are in [-16, 4096+16] and the top limb is
-    bounded by the value bound of the caller (see module docstring).
+    After 2 passes, non-top limbs are in [-13, 4096+13] (pass-1 carries are
+    <= 2^16.6, pass-2 carries <= 13), which keeps every downstream schoolbook
+    column inside int32; the top limb is bounded by the caller's value bound.
     Works for signed inputs: `>>` is arithmetic, `& MASK` is nonnegative.
     """
     pad = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
@@ -184,9 +185,29 @@ def mul(a: jnp.ndarray, b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
     return reduce_to_semi(school(a, b), spec)
 
 
+def school_square(a: jnp.ndarray) -> jnp.ndarray:
+    """Squaring columns with the symmetry optimization (~253 MACs vs 484):
+    sum_i a_i * (2*a)_{j>=i} shifted by 2i, minus the double-counted
+    diagonal a_i^2 (mirrors the reference's square_internal,
+    field.rs:763-777).  Column bound: <= 23 * 2^25 < 2^29.6, still int32."""
+    na = a.shape[-1]
+    ncols = 2 * na - 1
+    a2 = a * 2
+    out = None
+    for i in range(na):
+        row = a[..., i : i + 1] * a2[..., i:]
+        row = jnp.pad(row, [(0, 0)] * (row.ndim - 1) + [(2 * i, na - 1 - i)])
+        out = row if out is None else out + row
+    # subtract the double-counted diagonal: out[2i] -= a_i^2
+    diag = a * a
+    inter = jnp.stack([diag, jnp.zeros_like(diag)], axis=-1)
+    inter = inter.reshape(*a.shape[:-1], 2 * na)[..., :ncols]
+    return out - inter
+
+
 @partial(jax.jit, static_argnums=1)
 def square(a: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
-    return mul(a, a, spec)
+    return reduce_to_semi(school_square(a), spec)
 
 
 @jax.jit
