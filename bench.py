@@ -6,90 +6,123 @@ Prints ONE JSON line:
   {"metric": "scalar_mults_per_sec_per_chip", "value": N, "unit": "ops/s",
    "vs_baseline": N / 1e7, ...extras}
 
-Runs on whatever jax.devices() provides (TPU under the driver; CPU locally
-with JAX_PLATFORMS=cpu).
+Resilience: the TPU remote-compile service on this rig can wedge on new
+graphs, so each metric runs in its own subprocess with a timeout; a wedged
+metric is reported as null instead of hanging the whole bench.  Compiled
+executables persist in a local cache, so retries get cheaper.
 """
 
 import json
 import os
+import subprocess
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(sys.argv[0])) or "."
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import jax
+if os.environ.get("BENCH_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+from zerocaf_tpu import constants as C
+from zerocaf_tpu.models import edwards as ed
+from zerocaf_tpu.models import ristretto as ri
+from zerocaf_tpu.ops import limb as l
+
+metric = {metric!r}
+batch = {batch}
+rng = np.random.default_rng(0)
+
+def timeit(fn, *args, iters=5, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+base = jnp.asarray(np.broadcast_to(C.BASEPOINT.astype(np.int32), (batch, 4, 22)).copy())
+pt = tuple(base[:, i] for i in range(4))
+
+if metric == "windowed":
+    w = jnp.asarray(rng.integers(0, 16, (batch, 63)).astype(np.int32))
+    t = timeit(jax.jit(lambda p, w: ed._scalar_mul_windowed(p, w, 4)), pt, w)
+elif metric == "ladder":
+    b = jnp.asarray(rng.integers(0, 2, (batch, 250)).astype(np.int32))
+    t = timeit(jax.jit(lambda p, b: ed._scalar_mul(p, b)), pt, b)
+elif metric == "fixed_base":
+    w = jnp.asarray(rng.integers(0, 256, (batch, 32)).astype(np.int32))
+    t = timeit(jax.jit(lambda w: ed._fixed_base_mul(w)), w)
+elif metric == "field_mul":
+    n = 1 << 16
+    A = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
+    B = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
+    t = timeit(jax.jit(lambda a, b: l.mul(a, b, l.FIELD)), A, B)
+    batch = n
+elif metric == "ristretto_encode":
+    t = timeit(jax.jit(lambda p: ri._compress(p)), pt)
+else:
+    raise SystemExit(2)
+
+print(json.dumps({{"metric": metric, "sec": t, "batch": batch,
+                   "platform": jax.devices()[0].platform}}))
+"""
+
+
+def run_metric(metric: str, batch: int, timeout: int) -> dict | None:
+    code = CHILD.format(repo=REPO, metric=metric, batch=batch)
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "420"))
 
-    from zerocaf_tpu import constants as C
-    from zerocaf_tpu.models import edwards as ed
-    from zerocaf_tpu.models import ristretto as ri
-    from zerocaf_tpu.ops import limb as l
+    results = {}
+    platform = None
+    for metric in ("windowed", "ladder", "fixed_base", "field_mul",
+                   "ristretto_encode"):
+        r = run_metric(metric, batch, timeout)
+        if r:
+            results[metric] = r
+            platform = r.get("platform", platform)
 
-    dev = jax.devices()[0]
-    platform = dev.platform
-    batch = int(os.environ.get("BENCH_BATCH", "4096" if platform != "cpu" else "1024"))
-    rng = np.random.default_rng(0)
+    def rate(m):
+        r = results.get(m)
+        return round(r["batch"] / r["sec"], 1) if r else None
 
-    def timeit(fn, *args, iters=5, warmup=2):
-        for _ in range(warmup):
-            jax.block_until_ready(fn(*args))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
-
-    # --- headline: batched variable-base scalar-mul (4-bit fixed windows)
-    base = jnp.asarray(np.broadcast_to(C.BASEPOINT.astype(np.int32),
-                                       (batch, 4, 22)).copy())
-    bits = jnp.asarray(rng.integers(0, 2, size=(batch, 250)).astype(np.int32))
-    win4 = jnp.asarray(rng.integers(0, 16, size=(batch, 63)).astype(np.int32))
-    win8 = jnp.asarray(rng.integers(0, 256, size=(batch, 32)).astype(np.int32))
-    pt = tuple(base[:, i] for i in range(4))
-
-    smul = jax.jit(lambda p, w: ed._scalar_mul_windowed(p, w, 4))
-    t_smul = timeit(smul, pt, win4)
-    scalar_mults_per_sec = batch / t_smul
-
-    ladder = jax.jit(lambda p, b: ed._scalar_mul(p, b))
-    t_ladder = timeit(ladder, pt, bits)
-
-    fixed = jax.jit(lambda w: ed._fixed_base_mul(w))
-    t_fixed = timeit(fixed, win8)
-
-    # --- secondary: field mul throughput (2^16 lanes)
-    fb = 1 << 16
-    A = jnp.asarray(rng.integers(0, 4096, size=(fb, 22)).astype(np.int32))
-    B = jnp.asarray(rng.integers(0, 4096, size=(fb, 22)).astype(np.int32))
-    fmul = jax.jit(lambda a, b: l.mul(a, b, l.FIELD))
-    t_fmul = timeit(fmul, A, B)
-    field_muls_per_sec = fb / t_fmul
-
-    # --- secondary: ristretto encode throughput
-    enc = jax.jit(lambda p: ri._compress(p))
-    t_enc = timeit(enc, pt)
-    encodes_per_sec = batch / t_enc
-
-    result = {
+    headline = rate("windowed") or rate("ladder") or 0.0
+    out = {
         "metric": "scalar_mults_per_sec_per_chip",
-        "value": round(scalar_mults_per_sec, 1),
+        "value": headline,
         "unit": "ops/s",
-        "vs_baseline": round(scalar_mults_per_sec / 1e7, 6),
+        "vs_baseline": round(headline / 1e7, 6) if headline else 0.0,
         "platform": platform,
         "batch": batch,
-        "field_muls_per_sec": round(field_muls_per_sec, 1),
-        "ristretto_encodes_per_sec": round(encodes_per_sec, 1),
-        "windowed_ms": round(t_smul * 1e3, 3),
-        "ladder_ms": round(t_ladder * 1e3, 3),
-        "ladder_mults_per_sec": round(batch / t_ladder, 1),
-        "fixed_base_mults_per_sec": round(batch / t_fixed, 1),
+        "ladder_mults_per_sec": rate("ladder"),
+        "fixed_base_mults_per_sec": rate("fixed_base"),
+        "field_muls_per_sec": rate("field_mul"),
+        "ristretto_encodes_per_sec": rate("ristretto_encode"),
     }
-    print(json.dumps(result))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

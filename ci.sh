@@ -9,16 +9,20 @@ cd "$(dirname "$0")"
 echo "== native build =="
 ./native/build.sh
 
+# CPU-only work bypasses the axon TPU tunnel entirely (the sitecustomize
+# handshake at interpreter start can wedge; see CLAUDE.md).
+PYCPU="env -u PALLAS_AXON_POOL_IPS python"
+
 echo "== constants verification =="
-python tools/constants_gen.py > /dev/null && python tools/derive_curve.py > /dev/null && echo ok
+$PYCPU tools/constants_gen.py > /dev/null && $PYCPU tools/derive_curve.py > /dev/null && echo ok
 
 echo "== tests (serial groups) =="
-python -m pytest tests/test_oracle.py tests/test_constants.py -q
-python -m pytest tests/test_field.py -q
-python -m pytest tests/test_scalar.py tests/test_points.py -q
-python -m pytest tests/test_msm.py tests/test_sharding.py -q
-python -m pytest tests/test_pallas.py -q
+$PYCPU -m pytest tests/test_oracle.py tests/test_constants.py -q
+$PYCPU -m pytest tests/test_field.py -q
+$PYCPU -m pytest tests/test_scalar.py tests/test_points.py -q
+$PYCPU -m pytest tests/test_msm.py tests/test_sharding.py -q
+$PYCPU -m pytest tests/test_pallas.py -q
 
 echo "== bench (smoke, CPU) =="
-JAX_PLATFORMS=cpu BENCH_BATCH=128 python bench.py
+env -u PALLAS_AXON_POOL_IPS BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_TIMEOUT=120 python bench.py
 echo "CI OK"

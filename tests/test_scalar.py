@@ -96,6 +96,18 @@ class TestScalarOps:
         for row, k in zip(w, ks):
             assert sum(int(d) << (8 * i) for i, d in enumerate(row)) == k
 
+    def test_shr(self):
+        # scalar.rs:962-977
+        vals = [4, 1, 0, o.R - 1, 1 << 249]
+        s = sc(vals)
+        assert [int(v) for v in (s >> 1).to_ints()] == [(v % o.R) >> 1 for v in vals]
+        assert [int(v) for v in (s >> 248).to_ints()] == [(v % o.R) >> 248 for v in vals]
+        assert int(sc([6]).half_without_mod().to_ints()[0]) == 3
+
+    def test_mods_2_pow_k(self):
+        got = np.asarray(sc([3, 7, 15, 8]).mods_2_pow_k(4))
+        assert got.tolist() == [3, 7, -1, -8]
+
     def test_mod_2_pow_k(self):
         got = np.asarray(sc([4, 3, 557, 42535295865117307932887201356513780707]).mod_2_pow_k(2))
         assert got.tolist() == [0, 3, 1, 3]

@@ -112,6 +112,22 @@ class FieldElement:
         is not needed: this is already a single constant-multiply."""
         return self * FieldElement(jnp.asarray(C._limbs(C.INVERSE_MOD_TWO)))
 
+    def __rshift__(self, k: int) -> "FieldElement":
+        """Logical right shift of the canonical value (the field analogue of
+        Scalar's Shr; backs half_without_mod, field.rs:676-688)."""
+        assert 0 <= k
+        if k >= 253:
+            return FieldElement(jnp.zeros_like(self.limbs))
+        bits = _l.to_bits(self.limbs, _SPEC, 253)
+        shifted = jnp.pad(bits[..., k:], [(0, 0)] * (bits.ndim - 1) + [(0, k + 11)])
+        groups = shifted.reshape(*bits.shape[:-1], 22, 12)
+        w = jnp.asarray((1 << np.arange(12)).astype(np.int32))
+        return FieldElement(jnp.sum(groups * w, axis=-1, dtype=jnp.int32))
+
+    def half_without_mod(self) -> "FieldElement":
+        """Exact halving of an even element (field.rs:676-688)."""
+        return self >> 1
+
     def inverse(self) -> "FieldElement":
         """Fermat a^(p-2) (replaces the binary-GCD loop, field.rs:854-925)."""
         return FieldElement(_isq.inverse(self.limbs))

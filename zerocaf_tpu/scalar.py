@@ -173,6 +173,22 @@ class Scalar:
         from . import native
         return native.wnaf(np.asarray(self.to_bytes()), width, nbits)
 
+    def __rshift__(self, k: int) -> "Scalar":
+        """Logical right shift of the canonical value (scalar.rs:165-182)."""
+        assert 0 <= k
+        if k >= 250:
+            return Scalar(jnp.zeros_like(self.limbs))
+        bits = self.into_bits(250)
+        shifted = jnp.pad(bits[..., k:], [(0, 0)] * (bits.ndim - 1) + [(0, k + 14)])
+        groups = shifted.reshape(*bits.shape[:-1], 22, 12)
+        w = jnp.asarray((1 << np.arange(12)).astype(np.int32))
+        return Scalar(jnp.sum(groups * w, axis=-1, dtype=jnp.int32))
+
+    def half_without_mod(self) -> "Scalar":
+        """Exact halving of an even scalar (scalar.rs:562-574); here simply
+        value >> 1 (callers guarantee evenness, as in the reference)."""
+        return self >> 1
+
     def mod_2_pow_k(self, k: int) -> jnp.ndarray:
         """scalar (mod 2^k), k <= 12 (scalar.rs:423-425)."""
         assert 0 < k <= 12
