@@ -11,7 +11,7 @@ echo "== native build =="
 
 # CPU-only work bypasses the axon TPU tunnel entirely (the sitecustomize
 # handshake at interpreter start can wedge; see CLAUDE.md).
-PYCPU="env -u PALLAS_AXON_POOL_IPS python"
+PYCPU="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python"
 
 echo "== constants verification =="
 $PYCPU tools/constants_gen.py > /dev/null && $PYCPU tools/derive_curve.py > /dev/null && echo ok
@@ -24,5 +24,5 @@ $PYCPU -m pytest tests/test_msm.py tests/test_sharding.py -q
 $PYCPU -m pytest tests/test_pallas.py -q
 
 echo "== bench (smoke, CPU) =="
-env -u PALLAS_AXON_POOL_IPS BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_TIMEOUT=120 python bench.py
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_TIMEOUT=120 python bench.py
 echo "CI OK"

@@ -184,7 +184,7 @@ def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
         local, mesh=mesh,
         in_specs=(tuple(P(axis) for _ in range(4)), P(axis)),
         out_specs=tuple(P() for _ in range(4)),
-        check_rep=False)
+        check_vma=False)
     return EdwardsPoint(*fn(pt, windows))
 
 
