@@ -92,14 +92,40 @@ def run_metric(metric: str, batch: int, timeout: int) -> dict | None:
     return None
 
 
+PROBE = """
+import jax, jax.numpy as jnp
+print((jnp.ones(8, jnp.int32) * 3).sum(), jax.devices()[0].platform)
+"""
+
+
+def tunnel_ready(timeout: int = 90) -> bool:
+    """Cheap interpreter-start + tiny-compute probe; the axon tunnel wedge
+    blocks at interpreter start, so this fails fast when the TPU grant is
+    stranded (killing a wedged probe strands less than killing a compile)."""
+    try:
+        out = subprocess.run([sys.executable, "-c", PROBE], capture_output=True,
+                             text=True, timeout=timeout)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     timeout = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    force_cpu = bool(os.environ.get("BENCH_FORCE_CPU"))
 
     results = {}
     platform = None
     for metric in ("windowed", "ladder", "fixed_base", "field_mul",
                    "ristretto_encode"):
+        if not force_cpu:
+            # wait for a healthy tunnel before each compile-heavy child
+            import time as _t
+            for _ in range(4):
+                if tunnel_ready():
+                    break
+                _t.sleep(60)
         r = run_metric(metric, batch, timeout)
         if r:
             results[metric] = r
@@ -109,7 +135,7 @@ def main() -> None:
         r = results.get(m)
         return round(r["batch"] / r["sec"], 1) if r else None
 
-    headline = rate("windowed") or rate("ladder") or 0.0
+    headline = rate("windowed") or rate("ladder") or rate("fixed_base") or 0.0
     out = {
         "metric": "scalar_mults_per_sec_per_chip",
         "value": headline,

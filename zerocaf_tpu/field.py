@@ -66,6 +66,18 @@ class FieldElement:
         return cls(_l.from_bytes(jnp.asarray(b), _SPEC))
 
     @classmethod
+    def from_ristretto255_scalar_bytes(cls, b: jnp.ndarray) -> "FieldElement":
+        """curve25519-dalek Ristretto255Scalar interop (field.rs:151-168):
+        a canonical ristretto255 scalar byte string IS a canonical element of
+        this field (p equals the ristretto255 scalar-group order), so the
+        conversion is the canonical byte decode."""
+        return cls.from_bytes(b)
+
+    def to_ristretto255_scalar_bytes(self) -> jnp.ndarray:
+        """Inverse interop (field.rs:161-168): canonical bytes."""
+        return self.to_bytes()
+
+    @classmethod
     def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "FieldElement":
         """Uniform random elements via 512-bit reduction (stronger than the
         reference's top-bit masking, field.rs:126-141)."""
