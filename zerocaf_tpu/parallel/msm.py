@@ -152,12 +152,72 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
     return T
 
 
-def msm(points: EdwardsPoint, scalars: Scalar, c: int = DEFAULT_C) -> EdwardsPoint:
-    """Single-device MSM: sum(k_i * P_i) (BASELINE.json config 3-4)."""
+@partial(jax.jit, static_argnames=("nbuckets",))
+def _window_buckets(pt, digits, nbuckets: int):
+    """One Pippenger window: sort by digit, segmented-scan, scatter to the
+    bucket table.  Small standalone graph: compiled once and reused for every
+    window (the fused _msm_local graph is too large for this rig's remote
+    TPU compiler; see CLAUDE.md)."""
+    order = jnp.argsort(digits)
+    d_sorted = digits[order]
+    p_sorted = tuple(coord[order] for coord in pt)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
+    summed = _segmented_scan_points(p_sorted, starts)
+    ends = jnp.concatenate([(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)])
+    idx = jnp.where(ends, d_sorted, nbuckets)
+    return tuple(
+        jnp.zeros((nbuckets + 1, 22), jnp.int32)
+        .at[:, 0].set(ident_limb0)
+        .at[idx].set(coord)[:nbuckets]
+        for coord, ident_limb0 in zip(summed, (0, 1, 1, 0)))
+
+
+@partial(jax.jit, static_argnames=("c", "nbuckets"))
+def _combine_windows(tables, c: int, nbuckets: int):
+    """Descending bucket running-sum (batched over windows) + Horner merge.
+    tables: tuple of [nwin, nbuckets, 22] arrays."""
+    nwin = tables[0].shape[0]
+
+    def bucket_step(carry, b_rev):
+        acc, tot = carry
+        sb = tuple(t[:, b_rev] for t in tables)
+        acc = _ed._add(acc, sb)
+        tot = _ed._add(tot, acc)
+        return (acc, tot), None
+
+    ident_w = _ed._identity_like(tuple(t[:, 0] for t in tables))
+    (_, tot), _ = jax.lax.scan(
+        bucket_step, (ident_w, ident_w), jnp.arange(nbuckets - 1, 0, -1))
+
+    def horner_step(T, w_rev):
+        for _ in range(c):
+            T = _ed._double(T)
+        Ww = tuple(t[w_rev] for t in tot)
+        return _ed._add(T, Ww), None
+
+    ident1 = _ed._identity_like(tuple(t[0] for t in tot))
+    T, _ = jax.lax.scan(horner_step, ident1, jnp.arange(nwin - 1, -1, -1))
+    return T
+
+
+def msm(points: EdwardsPoint, scalars: Scalar, c: int = DEFAULT_C,
+        fused: bool = False) -> EdwardsPoint:
+    """Single-device MSM: sum(k_i * P_i) (BASELINE.json config 3-4).
+
+    Default path runs one small jitted kernel per window (python loop) plus
+    one combine kernel -- three small graphs total, friendly to slow/fragile
+    compilers.  fused=True uses the single-graph _msm_local (what shard_map
+    traces)."""
     nwin = -(-250 // c)
     windows = scalars.windows(c, nwin)
     pt = points._tuple()
-    return EdwardsPoint(*_msm_local(pt, windows, c=c, nwin=nwin))
+    if fused:
+        return EdwardsPoint(*_msm_local(pt, windows, c=c, nwin=nwin))
+    nbuckets = 1 << c
+    per_w = [_window_buckets(pt, windows[:, w], nbuckets) for w in range(nwin)]
+    tables = tuple(jnp.stack([pw[i] for pw in per_w]) for i in range(4))
+    return EdwardsPoint(*_combine_windows(tables, c, nbuckets))
 
 
 def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
