@@ -21,7 +21,7 @@ $PYCPU -m pytest tests/test_oracle.py tests/test_constants.py -q
 $PYCPU -m pytest tests/test_field.py -q
 $PYCPU -m pytest tests/test_scalar.py tests/test_points.py -q
 $PYCPU -m pytest tests/test_msm.py tests/test_sharding.py -q
-$PYCPU -m pytest tests/test_pallas.py -q
+$PYCPU -m pytest tests/test_pallas.py tests/test_protocols.py -q
 
 echo "== bench (smoke, CPU) =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_TIMEOUT=120 python bench.py
