@@ -184,3 +184,60 @@ class TestJitted:
     def test_constants_available(self):
         assert int(EDWARDS_D.to_ints()) == o.EDWARDS_D
         assert int(SQRT_M1.to_ints()) == o.SQRT_M1
+
+
+class TestMxuFold:
+    """The int8-matmul reduction (ops/limb.reduce_to_semi) must agree with
+    the all-VPU cascade (reduce_to_semi_cascade) and keep the semi-reduced
+    contract, across widths and signs (the analogue of the reference's
+    montgomery_reduce fixture tests, field.rs:1445-1470)."""
+
+    def _vals(self, cols):
+        return [sum(int(c) << (12 * i) for i, c in enumerate(row)) for row in cols]
+
+    @pytest.mark.parametrize("width", [43, 34, 23, 22, 13, 5, 1])
+    def test_matches_cascade_and_contract(self, width):
+        from zerocaf_tpu.ops import limb as l
+
+        for spec in (l.FIELD, l.SCALAR):
+            hi = min(2**29, 2**31 // width)
+            cols = rng.integers(-(2**21), hi, size=(32, width)).astype(np.int32)
+            if width > 3:  # respect |value| < 2^(12*(n+1))
+                cols[:, -3:] = rng.integers(-13, 4096, size=(32, 3)).astype(np.int32)
+            out = np.asarray(l.reduce_to_semi(jnp.asarray(cols), spec))
+            ref = np.asarray(l.reduce_to_semi_cascade(jnp.asarray(cols), spec))
+            vin = self._vals(cols)
+            vout = self._vals(out)
+            vref = self._vals(ref)
+            for vi, vo, vr in zip(vin, vout, vref):
+                assert (vo - vi) % spec.m == 0
+                assert (vr - vi) % spec.m == 0
+                assert abs(vo) < 2**253
+            assert out.min() >= -16 and out.max() <= 4112
+
+    def test_product_columns_roundtrip(self):
+        from zerocaf_tpu.ops import limb as l
+
+        xs, ys = rand_ints(64), rand_ints(64)
+        a = fe(xs).limbs
+        b = fe(ys).limbs
+        cols = l.school(a, b)
+        got = np.asarray(l.canonical(l.reduce_to_semi(cols, l.FIELD), l.FIELD))
+        for row, x, y in zip(got, xs, ys):
+            assert sum(int(c) << (12 * i) for i, c in enumerate(row)) == o.fmul(x, y)
+
+
+class TestNibbleCodec:
+    def test_bytes_limbs_roundtrip_random(self):
+        from zerocaf_tpu.ops import limb as l
+
+        raw = rng.integers(0, 256, size=(64, 32)).astype(np.uint8)
+        limbs = np.asarray(l.bytes_to_limbs(jnp.asarray(raw)))
+        vals = [int.from_bytes(bytes(r.tolist()), "little") for r in raw]
+        for row, v in zip(limbs, vals):
+            assert sum(int(c) << (12 * i) for i, c in enumerate(row)) == v
+        # inverse on canonical (sub-2^252) values
+        canon = np.asarray([o.int_to_limbs(v % o.P) for v in vals], dtype=np.int32)
+        back = np.asarray(l.limbs_to_bytes(jnp.asarray(canon)))
+        for row, v in zip(back, vals):
+            assert int.from_bytes(bytes(row.tolist()), "little") == v % o.P

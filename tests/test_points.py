@@ -254,3 +254,28 @@ class TestMontgomery:
         p, _ = batch_points(BASE_PTS[:2] * 4)
         m = MontgomeryPoint.from_edwards(p)
         assert np.asarray(m.eq(m)).all()
+
+
+class TestMixedBatch:
+    """Unbatched point x batched scalar (and vice versa) must broadcast —
+    the everyday shape for basepoint multiplication (regression: scan-carry
+    shape mismatch in _scalar_mul)."""
+
+    def test_unbatched_point_batched_scalar(self):
+        ks = [3, 7, 12345, 1, 2, 9, 100, 250]
+        s = Scalar.from_int(ks)
+        got = EdwardsPoint.basepoint() * s  # basepoint has shape ()
+        assert got.shape == (B,)
+        assert_points_eq(got, [o.scalar_mul(o.BASEPOINT, k) for k in ks])
+        gw = EdwardsPoint.basepoint().mul_windowed(s)
+        assert np.asarray(gw.eq(got)).all()
+        gn = binary_naf_mul(EdwardsPoint.basepoint(), s)
+        assert np.asarray(gn.eq(got)).all()
+        gr = RistrettoPoint.basepoint() * s
+        assert np.asarray(gr.eq(RistrettoPoint(got))).all()
+
+    def test_batched_point_unbatched_scalar(self):
+        p, pts = batch_points(BASE_PTS)
+        got = p * Scalar.from_int(29)
+        assert got.shape == (B,)
+        assert_points_eq(got, [o.scalar_mul(q, 29) for q in pts])

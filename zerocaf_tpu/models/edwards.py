@@ -91,6 +91,14 @@ def _identity_like(p):
     return (zero, one, one, zero)
 
 
+def _broadcast_point(p, digit_batch: tuple[int, ...]):
+    """Broadcast point coords to the combined batch of point and digits so
+    a scan carry keeps a fixed shape (e.g. unbatched basepoint x batched
+    scalar)."""
+    batch = jnp.broadcast_shapes(p[0].shape[:-1], digit_batch)
+    return tuple(jnp.broadcast_to(c, batch + c.shape[-1:]) for c in p)
+
+
 @partial(jax.jit, static_argnames=("nbits",))
 def _scalar_mul(p, bits, nbits: int = 250):
     """Fixed-ladder MSB-first double-and-add over lax.scan.
@@ -98,6 +106,7 @@ def _scalar_mul(p, bits, nbits: int = 250):
     bits: [..., nbits] LSB-first int32 (from Scalar.into_bits).  250 bits
     cover all canonical scalars; pass nbits=253 to multiply by raw integers
     up to 8r (order checks)."""
+    p = _broadcast_point(p, bits.shape[:-1])
     bits_msb = jnp.moveaxis(bits, -1, 0)[::-1]  # [nbits, ...]
 
     def body(Q, bit):
@@ -116,6 +125,7 @@ def _scalar_mul_windowed(p, windows, width: int = 4):
     + one table-gather add).  ~1.7x fewer point ops than the plain ladder;
     the gather index is the (secret) digit, so prefer `_scalar_mul` when
     strict access-pattern obliviousness matters."""
+    p = _broadcast_point(p, windows.shape[:-1])
     nbuckets = 1 << width
     tbl = [_identity_like(p), p]
     for _ in range(2, nbuckets):
@@ -578,6 +588,7 @@ def mul_by_pow_2(point: EdwardsPoint, k: int) -> EdwardsPoint:
 @partial(jax.jit, static_argnames=("nbits",))
 def _signed_digit_mul(p, digits, nbits: int):
     """MSB-first ladder over signed digits in {-1, 0, +1}."""
+    p = _broadcast_point(p, digits.shape[:-1])
     d_msb = jnp.moveaxis(digits, -1, 0)[::-1]
     pn = _neg(p)
 

@@ -157,19 +157,99 @@ def _fold(x: jnp.ndarray, c_limbs: jnp.ndarray) -> jnp.ndarray:
     return carry_keep_top(lo - d)
 
 
-def reduce_to_semi(cols: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+def reduce_to_semi_cascade(cols: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
     """Reduce product columns (up to 43 of them, int32-bounded) to the
     semi-reduced 22-limb form with |value| < 2^253.
 
     Width walk for a full 506-bit product: 43 -> carry 44 -> fold 35 ->
     fold 26 -> fold 22.  Shorter inputs converge faster; the Python loop
-    runs at trace time over static shapes."""
+    runs at trace time over static shapes.  This is the all-VPU cascade;
+    the default `reduce_to_semi` below moves the fold work onto the MXU."""
     x = carry_keep_top(cols)
     while x.shape[-1] > L:
         x = _fold(x, spec.fold_c_limbs)
     if x.shape[-1] < L:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
     return x
+
+
+# --- MXU fold: the whole high-limb reduction as ONE int8 matmul -------------
+#
+# For a carried input x of width n (limbs |x_i| <= ~2^12.1), the value is
+#   value(x) = sum_{k<21} x_k 2^12k  +  sum_{j} hi_j 2^(12(21+j)),
+# and each high limb splits into 6-bit digits hi_j = h0_j + 64*h1_j with
+# h0 in [0,63], h1 in [-4,64] -- both int8-representable.  Precompute, per
+# modulus, the canonical 22-limb rows
+#   ROW0[j] = limbs(2^(12(21+j))   mod m)        (weight of h0_j)
+#   ROW1[j] = limbs(2^(12(21+j)+6) mod m)        (weight of h1_j)
+# and split each row entrywise into 6-bit digits ROW = RL + 64*RH.  Then
+#   value(x) == lo + [h0 || h1] @ [RL; RH-block]  (mod m)
+# as a single [batch, 2*nh] @ [2*nh, 44] int8 x int8 -> int32 dot, which XLA
+# routes to the MXU (int8 systolic matmuls) instead of the VPU.  Bounds:
+# d_lo <= 2*nh*64*64 < 2^18, d_hi<<6 < 2^24 -- exact in int32.
+#
+# The matmul output is mod-m correct but its *value* is only < ~2^265 (each
+# row has value < m), so one cheap pseudo-Mersenne micro-fold of the two
+# limbs above bit 252 (school 2x12) brings it under 2^253: semi-reduced.
+
+
+def _fold_matrix(spec: ModSpec, nh: int) -> np.ndarray:
+    """[2*nh, 44] int8: digit-split fold rows for high limbs 21..21+nh-1."""
+    key = (spec.name, nh)
+    mat = _FOLD_MATRIX_CACHE.get(key)
+    if mat is None:
+        from .. import oracle
+
+        rows = []
+        for shift in (0, 6):
+            for j in range(nh):
+                v = (1 << (W * (FOLD_LIMB + j) + shift)) % spec.m
+                rows.append(oracle.int_to_limbs(v, n=L))
+        rows = np.array(rows, dtype=np.int64)  # [2nh, 22], entries < 2^12
+        mat = np.concatenate([rows & 63, rows >> 6], axis=1).astype(np.int8)
+        _FOLD_MATRIX_CACHE[key] = mat
+    return mat
+
+
+_FOLD_MATRIX_CACHE: dict = {}
+
+
+def reduce_to_semi(cols: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """Reduce product columns to semi-reduced 22 limbs (|value| < 2^253)
+    via the int8 MXU fold (see block comment above).  Bit-identical to
+    reduce_to_semi_cascade on all inputs satisfying the precondition; chosen
+    as default because it moves ~500 of the ~950 per-element fold multiplies
+    off the VPU.
+
+    Precondition: |value(cols)| < 2^(12*(n+1)) for width-n input, so the
+    carried top limb stays 6-bit-digit-splittable.  Every caller is far
+    inside this: mul/square columns of semi-reduced operands have value
+    < 2^506 (n=43), wide-byte decodes < 2^512 (n=43), byte decodes < 2^256
+    (n=22)."""
+    x = carry_keep_top(cols, extra=2)  # width n+2, limbs in [-53, ~4147]
+    if x.shape[-1] > FOLD_LIMB + 2:
+        nh = x.shape[-1] - FOLD_LIMB
+        lo = x[..., :FOLD_LIMB]
+        hi = x[..., FOLD_LIMB:]
+        # 6-bit digit split: h0 in [0,63], h1 in [-1,64] -- int8-exact
+        lhs = jnp.concatenate([hi & 63, hi >> 6], axis=-1).astype(jnp.int8)
+        rhs = jnp.asarray(_fold_matrix(spec, nh))
+        d = jax.lax.dot_general(
+            lhs, rhs,
+            (((lhs.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = d[..., :L] + (d[..., L:] << 6)  # [..., 22], |entries| < 2^24.1
+        out = out.at[..., :FOLD_LIMB].add(lo)
+        x = carry_keep_top(out)  # 23 limbs; |value| < 2^265 => top in [-4, 2]
+    elif x.shape[-1] < FOLD_LIMB + 2:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, FOLD_LIMB + 2 - x.shape[-1])])
+    # micro-fold of bits >= 252: value = lo + 2^252*H  ->  lo - c*H, |H| < 2^25
+    hi2 = x[..., FOLD_LIMB:]  # [..., 2]
+    d2 = school(hi2, jnp.asarray(spec.fold_c_limbs))  # [..., 13]
+    z = x[..., :FOLD_LIMB].at[..., :13].add(-d2)
+    z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, L - FOLD_LIMB)])
+    return carry_keep_top(z, extra=0, passes=2)
 
 
 # ---------------------------------------------------------------------------
@@ -318,26 +398,27 @@ def geq_const(x_canonical: jnp.ndarray, bound_limbs: np.ndarray) -> jnp.ndarray:
 # Byte codecs (canonical little-endian 32 bytes; field.rs:563-631)
 # ---------------------------------------------------------------------------
 
-_BIT_W8 = np.asarray(1 << np.arange(8), dtype=np.int32)
-_BIT_W12 = np.asarray(1 << np.arange(12), dtype=np.int32)
-
-
 def bytes_to_limbs(b: jnp.ndarray) -> jnp.ndarray:
     """[..., 32] uint8 -> [..., 22] int32 holding the raw 256-bit value
-    (not reduced; limb 21 holds bits 252..255)."""
-    bits = (b.astype(jnp.int32)[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
-    bits = bits.reshape(*b.shape[:-1], 256)
-    bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, L * W - 256)])
-    groups = bits.reshape(*b.shape[:-1], L, W)
-    return jnp.sum(groups * jnp.asarray(_BIT_W12), axis=-1, dtype=jnp.int32)
+    (not reduced; limb 21 holds bits 252..255).
+
+    Radix 2^12 = exactly 3 nibbles, so the regrouping is a cheap nibble
+    shuffle (no bit expansion): limb k = nib[3k] + 16*nib[3k+1] +
+    256*nib[3k+2]."""
+    bi = b.astype(jnp.int32)
+    nib = jnp.stack([bi & 15, bi >> 4], axis=-1).reshape(*b.shape[:-1], 64)
+    nib = jnp.pad(nib, [(0, 0)] * (nib.ndim - 1) + [(0, 3 * L - 64)])
+    g = nib.reshape(*b.shape[:-1], L, 3)
+    return g[..., 0] + (g[..., 1] << 4) + (g[..., 2] << 8)
 
 
 def limbs_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
-    """[..., 22] canonical int32 limbs -> [..., 32] uint8 little-endian."""
-    bits = (x[..., None] >> jnp.arange(W, dtype=jnp.int32)) & 1
-    bits = bits.reshape(*x.shape[:-1], L * W)[..., :256]
-    groups = bits.reshape(*x.shape[:-1], 32, 8)
-    return jnp.sum(groups * jnp.asarray(_BIT_W8), axis=-1, dtype=jnp.int32).astype(jnp.uint8)
+    """[..., 22] canonical int32 limbs -> [..., 32] uint8 little-endian
+    (inverse nibble shuffle of bytes_to_limbs)."""
+    nib = jnp.stack([x & 15, (x >> 4) & 15, x >> 8], axis=-1)
+    nib = nib.reshape(*x.shape[:-1], 3 * L)[..., :64]
+    g = nib.reshape(*x.shape[:-1], 32, 2)
+    return (g[..., 0] + (g[..., 1] << 4)).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnums=1)
