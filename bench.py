@@ -111,7 +111,9 @@ def tunnel_ready(timeout: int = 90) -> bool:
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    # batch 16384 amortizes per-scan-step overheads (measured: 3x the
+    # throughput of 4096 on v5e); CPU CI overrides via BENCH_BATCH.
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
     timeout = int(os.environ.get("BENCH_TIMEOUT", "420"))
     force_cpu = bool(os.environ.get("BENCH_FORCE_CPU"))
 

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Single-device MSM wall-time bench (BASELINE.json config 4).
+
+Times sum(k_i * P_i) for N points on whatever jax.devices() provides, using
+the graph-split Pippenger path (three small jit graphs; see parallel/msm.py).
+Correctness is gated at small N against the pure-Python oracle; larger N are
+gated by internal consistency (c=8 vs c=6 window widths must agree
+bit-exactly after Ristretto compression).
+
+Usage: python benchmarks/msm_bench.py [--log2n 18] [--cpu] [--iters 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log2n", type=int, default=16)
+    ap.add_argument("--c", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--verify-oracle", type=int, default=0,
+                    help="also verify vs python oracle on this many points")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+
+    import zerocaf_tpu as z
+    from zerocaf_tpu.parallel import msm
+
+    n = 1 << args.log2n
+    key = jax.random.PRNGKey(42)
+    k1, k2 = jax.random.split(key)
+    print(json.dumps({"devices": [str(d) for d in jax.devices()], "n": n}),
+          flush=True)
+
+    t0 = time.perf_counter()
+    pts = z.EdwardsPoint.basepoint_mul(z.Scalar.random(k1, (n,)))
+    scalars = z.Scalar.random(k2, (n,))
+    jax.block_until_ready(pts.X)
+    print(json.dumps({"setup_s": round(time.perf_counter() - t0, 3)}), flush=True)
+
+    if args.verify_oracle:
+        import zerocaf_tpu.oracle as o
+        m = args.verify_oracle
+        got = msm(pts[:m], scalars[:m], c=args.c)
+        ks = [int(v) for v in scalars[:m].to_ints()]
+        pa = pts[:m].to_ints()
+        exp = o.IDENTITY
+        for i in range(m):
+            exp = o.point_add(exp, o.scalar_mul(
+                (int(pa[0][i]), int(pa[1][i]), int(pa[2][i]), int(pa[3][i])), ks[i]))
+        assert o.point_eq(tuple(int(c[()] if hasattr(c, 'shape') else c)
+                                for c in got.to_ints()), exp)
+        print(json.dumps({"oracle_verified_points": m}), flush=True)
+
+    def run(c):
+        out = msm(pts, scalars, c=c)
+        return bytes(np.asarray(z.RistrettoPoint(out).compress()).tolist())
+
+    # compile + consistency gate (two window widths must agree)
+    t0 = time.perf_counter()
+    enc8 = run(args.c)
+    print(json.dumps({"first_run_s": round(time.perf_counter() - t0, 3)}),
+          flush=True)
+    enc6 = run(6)
+    assert enc8 == enc6, "window-width cross-check failed"
+    print(json.dumps({"cross_check": "c=%d vs c=6 bit-exact" % args.c,
+                      "encoding": enc8.hex()}), flush=True)
+
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run(args.c)
+        ts.append(time.perf_counter() - t0)
+    t = sorted(ts)[len(ts) // 2]
+    print(json.dumps({"metric": "msm_wall_time", "points": n, "c": args.c,
+                      "wall_s": round(t, 4),
+                      "points_per_s": round(n / t, 1),
+                      "platform": jax.devices()[0].platform}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,42 @@ class TestCheckpoint:
         q, nb, meta = checkpoint.load(path)
         assert nb == 7 and meta == {"k": 1}
         assert bool(np.asarray(q.eq(p)))
+
+
+class TestSegmentedScan:
+    """The Blelloch exclusive scan must reproduce the Hillis-Steele inclusive
+    scan's segment sums for adversarial flag patterns, including non-pow2 N."""
+
+    def _check(self, digits):
+        import importlib
+        M = importlib.import_module("zerocaf_tpu.parallel.msm")
+        n = len(digits)
+        pts, _, _, _ = make_inputs(n)
+        pt = pts._tuple()
+        d = jnp.asarray(np.sort(np.asarray(digits, np.int32)))
+        starts = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (d[1:] != d[:-1]).astype(jnp.int32)])
+        # old inclusive path: ends hold sums
+        incl = M._segmented_scan_points(pt, starts)
+        # new exclusive path + fixup add
+        excl = M._seg_exclusive_scan(pt, starts)
+        fixed = M._ed._add(excl, pt)
+        ends = np.asarray(jnp.concatenate([(d[1:] != d[:-1]),
+                                           jnp.ones((1,), bool)]))
+        ok = np.asarray(M._ed._eq(incl, fixed))
+        assert ok[ends].all()
+
+    def test_all_same_digit(self):
+        self._check([5] * 32)
+
+    def test_all_distinct(self):
+        self._check(list(range(32)))
+
+    def test_random_nonpow2(self):
+        self._check(rng.integers(0, 7, 37).tolist())
+
+    def test_random_pow2(self):
+        self._check(rng.integers(0, 5, 64).tolist())
+
+    def test_single(self):
+        self._check([3])

@@ -77,6 +77,72 @@ def _segmented_scan_points(pts, starts):
     return pts
 
 
+def _seg_exclusive_scan(pts, starts):
+    """Work-efficient (Blelloch) segmented EXCLUSIVE sum-scan with the EC
+    addition monoid (Sengupta et al., "Scan primitives for GPU computing").
+
+    Total work ~2N adds with geometrically shrinking round widths -- vs the
+    Hillis-Steele inclusive scan's log2(N) full-width rounds (~18N adds at
+    2^18, which measured as 97% of MSM wall time on v5e).
+
+    pts: point pytree, coords [N, 22]; starts: [N] int32 segment-start flags
+    (starts[0] must be 1).  Returns the exclusive scan: out[i] = sum of the
+    elements of i's segment strictly before i (identity at segment starts).
+    Pads internally to a power of two."""
+    n0 = starts.shape[0]
+    n = 1 << max(1, (n0 - 1).bit_length())
+    ident = _ed._identity_like(tuple(c[:1] for c in pts))
+    if n != n0:
+        pts = tuple(
+            jnp.concatenate([c, jnp.broadcast_to(ic[0], (n - n0, 22))], 0)
+            for c, ic in zip(pts, ident))
+        starts = jnp.concatenate(
+            [starts, jnp.ones((n - n0,), starts.dtype)])
+    logn = n.bit_length() - 1
+    f_orig = starts
+    f2 = starts
+    v = pts
+
+    def col(c, d, j):
+        """Column j of the [m, 2^(d+1)] block view of a [n, ...] array."""
+        return c.reshape((n >> (d + 1), 1 << (d + 1)) + c.shape[1:])[:, j]
+
+    def setcol(c, d, j, val):
+        m = n >> (d + 1)
+        b = c.reshape((m, 1 << (d + 1)) + c.shape[1:])
+        return b.at[:, j].set(val).reshape((n,) + c.shape[1:])
+
+    # up-sweep: v[r] += v[l] where r's running flag is clear
+    for d in range(logn):
+        l, r = (1 << d) - 1, (1 << (d + 1)) - 1
+        vL = tuple(col(c, d, l) for c in v)
+        vR = tuple(col(c, d, r) for c in v)
+        f2L, f2R = col(f2, d, l), col(f2, d, r)
+        merged = _ed._add(vR, vL)
+        vR = _ed._select(f2R == 0, merged, vR)
+        v = tuple(setcol(c, d, r, nc) for c, nc in zip(v, vR))
+        f2 = setcol(f2, d, r, f2R | f2L)
+
+    # clear the root, then down-sweep
+    v = tuple(c.at[n - 1].set(ic[0]) for c, ic in zip(v, ident))
+    for d in reversed(range(logn)):
+        l, r = (1 << d) - 1, (1 << (d + 1)) - 1
+        vL = tuple(col(c, d, l) for c in v)
+        vR = tuple(col(c, d, r) for c in v)
+        f_next = col(f_orig, d, l + 1)   # right half's first element
+        f2L = col(f2, d, l)
+        summed = _ed._add(vL, vR)
+        new_r = _ed._select(f_next == 1, _ed._identity_like(vL),
+                            _ed._select(f2L == 1, vL, summed))
+        v = tuple(setcol(c, d, l, nc) for c, nc in zip(v, vR))   # v[l] = v[r]
+        v = tuple(setcol(c, d, r, nc) for c, nc in zip(v, new_r))
+        f2 = setcol(f2, d, l, jnp.zeros_like(f2L))
+
+    if n != n0:
+        v = tuple(c[:n0] for c in v)
+    return v
+
+
 def _tree_reduce(points):
     """Reduce [M, ..., 22] stacked points with balanced batched adds."""
     m = points[0].shape[0]
@@ -103,27 +169,7 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
     nbuckets = 1 << c
 
     def one_window(w):
-        digits = windows[:, w]
-        order = jnp.argsort(digits)
-        d_sorted = digits[order]
-        p_sorted = tuple(coord[order] for coord in pt)
-        # segment start flags
-        starts = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
-        summed = _segmented_scan_points(p_sorted, starts)
-        # segment ends hold the bucket sums
-        ends = jnp.concatenate(
-            [(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)])
-        # scatter: bucket[digit[end]] = summed[end]; indices are duplicate-free
-        # by construction (one end per digit value).  Unwritten buckets stay
-        # identity; the digit-0 bucket is never consumed downstream.
-        idx = jnp.where(ends, d_sorted, nbuckets)  # parked rows -> dropped
-        buckets = tuple(
-            jnp.zeros((nbuckets + 1, 22), jnp.int32)
-            .at[:, 0].set(ident_limb0)  # identity coords: (0, 1, 1, 0)
-            .at[idx].set(coord)
-            for coord, ident_limb0 in zip(summed, (0, 1, 1, 0)))
-        return tuple(b[:nbuckets] for b in buckets)
+        return _bucket_table(pt, windows[:, w], nbuckets)
 
     # [nwin, nbuckets, 22] bucket tables, all windows batched
     tables = jax.vmap(one_window, out_axes=0)(jnp.arange(nwin))
@@ -152,25 +198,39 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
     return T
 
 
-@partial(jax.jit, static_argnames=("nbuckets",))
-def _window_buckets(pt, digits, nbuckets: int):
-    """One Pippenger window: sort by digit, segmented-scan, scatter to the
-    bucket table.  Small standalone graph: compiled once and reused for every
-    window (the fused _msm_local graph is too large for this rig's remote
-    TPU compiler; see CLAUDE.md)."""
+def _bucket_table(pt, digits, nbuckets: int):
+    """One Pippenger window: sort by digit, work-efficient segmented
+    exclusive scan, then scatter BOTH the exclusive prefix and the original
+    point at each segment end and add the two [nbuckets]-wide tables --
+    bucket[d] = exclusive[end_d] + point[end_d] = that segment's sum.
+    (Adding post-scatter avoids an N-wide inclusive-fixup add.)"""
     order = jnp.argsort(digits)
     d_sorted = digits[order]
     p_sorted = tuple(coord[order] for coord in pt)
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
-    summed = _segmented_scan_points(p_sorted, starts)
+    excl = _seg_exclusive_scan(p_sorted, starts)
     ends = jnp.concatenate([(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)])
+    # scatter: indices are duplicate-free by construction (one end per digit
+    # value); unwritten buckets stay identity; parked rows (idx=nbuckets) drop.
     idx = jnp.where(ends, d_sorted, nbuckets)
-    return tuple(
-        jnp.zeros((nbuckets + 1, 22), jnp.int32)
-        .at[:, 0].set(ident_limb0)
-        .at[idx].set(coord)[:nbuckets]
-        for coord, ident_limb0 in zip(summed, (0, 1, 1, 0)))
+
+    def scatter(coords):
+        return tuple(
+            jnp.zeros((nbuckets + 1, 22), jnp.int32)
+            .at[:, 0].set(ident_limb0)  # identity coords: (0, 1, 1, 0)
+            .at[idx].set(coord)[:nbuckets]
+            for coord, ident_limb0 in zip(coords, (0, 1, 1, 0)))
+
+    return _ed._add(scatter(excl), scatter(p_sorted))
+
+
+@partial(jax.jit, static_argnames=("nbuckets",))
+def _window_buckets(pt, digits, nbuckets: int):
+    """One Pippenger window as a small standalone graph: compiled once and
+    reused for every window (the fused _msm_local graph is too large for this
+    rig's remote TPU compiler; see CLAUDE.md)."""
+    return _bucket_table(pt, digits, nbuckets)
 
 
 @partial(jax.jit, static_argnames=("c", "nbuckets"))
