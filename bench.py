@@ -69,6 +69,19 @@ elif metric == "field_mul":
     batch = n
 elif metric == "ristretto_encode":
     t = timeit(jax.jit(lambda p: ri._compress(p)), pt)
+elif metric == "msm":
+    from zerocaf_tpu.parallel import msm as _msm
+    from zerocaf_tpu import EdwardsPoint, Scalar
+    n = int(os.environ.get("BENCH_MSM_N", 1 << 16))
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    pts = EdwardsPoint.basepoint_mul(Scalar.random(k1, (n,)))
+    sc = Scalar.random(k2, (n,))
+    def run_msm(p, s):
+        out = _msm(p, s, c=8)
+        return out.X
+    t = timeit(run_msm, pts, sc, iters=3, warmup=1)
+    batch = n
 else:
     raise SystemExit(2)
 
@@ -120,7 +133,7 @@ def main() -> None:
     results = {}
     platform = None
     for metric in ("windowed", "ladder", "fixed_base", "field_mul",
-                   "ristretto_encode"):
+                   "ristretto_encode", "msm"):
         if not force_cpu:
             # wait for a healthy tunnel before each compile-heavy child
             import time as _t
@@ -149,6 +162,9 @@ def main() -> None:
         "fixed_base_mults_per_sec": rate("fixed_base"),
         "field_muls_per_sec": rate("field_mul"),
         "ristretto_encodes_per_sec": rate("ristretto_encode"),
+        "msm_points_per_sec": rate("msm"),
+        "msm_points": results.get("msm", {}).get("batch"),
+        "msm_wall_s": round(results["msm"]["sec"], 4) if "msm" in results else None,
     }
     print(json.dumps(out))
 
