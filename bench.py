@@ -21,6 +21,7 @@ REPO = os.path.dirname(os.path.abspath(sys.argv[0])) or "."
 
 CHILD = r"""
 import json, os, sys, time
+from functools import partial
 sys.path.insert(0, {repo!r})
 import jax
 if os.environ.get("BENCH_FORCE_CPU"):
@@ -38,37 +39,66 @@ metric = {metric!r}
 batch = {batch}
 rng = np.random.default_rng(0)
 
-def timeit(fn, *args, iters=5, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+# HONEST TIMING on the remote-tunnel device: block_until_ready can return at
+# the ~0.1 ms dispatch floor before the remote execution finishes, so single
+# dispatches measure as dispatch latency.  Instead: chain `iters` steps
+# inside ONE graph with a data dependency, force a (tiny) host readback, and
+# difference two graph sizes so the fixed dispatch+readback+tunnel cost
+# cancels:  per_iter = (T(2k) - T(k)) / k.
+
+def _readback(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * (leaf.ndim - 1)])
+
+def time_chain(step, init, iters, reps=3):
+    def mk(k):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, k, lambda i, x: step(x), x)
+        return run
+    r1, r2 = mk(iters), mk(2 * iters)
+    _readback(r1(init)); _readback(r2(init))  # compile + warm
+    def med(run):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _readback(run(init))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+    t1, t2 = med(r1), med(r2)
+    return max(t2 - t1, 1e-12) / iters
 
 base = jnp.asarray(np.broadcast_to(C.BASEPOINT.astype(np.int32), (batch, 4, 22)).copy())
 pt = tuple(base[:, i] for i in range(4))
 
 if metric == "windowed":
     w = jnp.asarray(rng.integers(0, 16, (batch, 63)).astype(np.int32))
-    t = timeit(jax.jit(lambda p, w: ed._scalar_mul_windowed(p, w, 4)), pt, w)
+    t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, 4), pt, 1)
 elif metric == "ladder":
     b = jnp.asarray(rng.integers(0, 2, (batch, 250)).astype(np.int32))
-    t = timeit(jax.jit(lambda p, b: ed._scalar_mul(p, b)), pt, b)
+    t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
 elif metric == "fixed_base":
-    w = jnp.asarray(rng.integers(0, 256, (batch, 32)).astype(np.int32))
-    t = timeit(jax.jit(lambda w: ed._fixed_base_mul(w)), w)
+    cw = ed.COMB_WIDTH
+    nwin = -(-250 // cw)
+    w = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
+    def step(w):
+        Q = ed._fixed_base_mul(w, cw)
+        mixed = jnp.concatenate([Q[0], Q[1], Q[2]], axis=-1)[..., :nwin]
+        return (w + mixed) & ((1 << cw) - 1)
+    t = time_chain(step, w, 8)
 elif metric == "field_mul":
     n = 1 << 16
     A = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
     B = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
-    t = timeit(jax.jit(lambda a, b: l.mul(a, b, l.FIELD)), A, B)
+    t = time_chain(lambda a: l.mul(a, B, l.FIELD), A, 64)
     batch = n
 elif metric == "ristretto_encode":
-    t = timeit(jax.jit(lambda p: ri._compress(p)), pt)
+    def step(p):
+        bts = ri._compress(p)
+        (x, y, z, tt), ok = ri._decompress(bts)
+        return (x, y, z, tt)
+    # one step = encode + decode; report the roundtrip rate
+    t = time_chain(step, pt, 8)
 elif metric == "msm":
     from zerocaf_tpu.parallel import msm as _msm
     from zerocaf_tpu import EdwardsPoint, Scalar
@@ -77,10 +107,17 @@ elif metric == "msm":
     k1, k2 = jax.random.split(key)
     pts = EdwardsPoint.basepoint_mul(Scalar.random(k1, (n,)))
     sc = Scalar.random(k2, (n,))
-    def run_msm(p, s):
-        out = _msm(p, s, c=8)
-        return out.X
-    t = timeit(run_msm, pts, sc, iters=3, warmup=1)
+    def run_msm():
+        out = _msm(pts, sc, c=8)
+        np.asarray(out.X[0])  # host readback: full completion
+        return out
+    run_msm()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_msm()
+        ts.append(time.perf_counter() - t0)
+    t = sorted(ts)[len(ts) // 2]
     batch = n
 else:
     raise SystemExit(2)
@@ -161,7 +198,7 @@ def main() -> None:
         "ladder_mults_per_sec": rate("ladder"),
         "fixed_base_mults_per_sec": rate("fixed_base"),
         "field_muls_per_sec": rate("field_mul"),
-        "ristretto_encodes_per_sec": rate("ristretto_encode"),
+        "ristretto_roundtrips_per_sec": rate("ristretto_encode"),
         "msm_points_per_sec": rate("msm"),
         "msm_points": results.get("msm", {}).get("batch"),
         "msm_wall_s": round(results["msm"]["sec"], 4) if "msm" in results else None,

@@ -24,5 +24,5 @@ $PYCPU -m pytest tests/test_msm.py tests/test_sharding.py -q
 $PYCPU -m pytest tests/test_pallas.py tests/test_protocols.py -q
 
 echo "== bench (smoke, CPU) =="
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_MSM_N=512 BENCH_TIMEOUT=120 python bench.py
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_MSM_N=512 BENCH_TIMEOUT=300 python bench.py
 echo "CI OK"

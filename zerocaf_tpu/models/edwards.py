@@ -61,9 +61,11 @@ def _add(p, q):
     return (_l.mul(E, F, _F), _l.mul(G, H, _F), _l.mul(F, G, _F), _l.mul(E, H, _F))
 
 
-def _double(p):
-    """Dedicated dbl-2008-hwcd doubling, 4M+4S (a = -1)."""
-    X, Y, Z, _ = p
+def _double(p, with_t: bool = True):
+    """Dedicated dbl-2008-hwcd doubling, 4M+4S (a = -1).  Accepts a 3- or
+    4-tuple (doubling never reads T); with_t=False skips the T output (1M
+    saved) for dbl-dbl chains where only the final double feeds an add."""
+    X, Y, Z = p[0], p[1], p[2]
     A = _l.square(X, _F)
     B = _l.square(Y, _F)
     Cc = _l.add(_l.square(Z, _F), _l.square(Z, _F))
@@ -72,7 +74,8 @@ def _double(p):
     G = _l.add(Dd, B)
     F = _l.sub(G, Cc)
     H = _l.sub(Dd, B)
-    return (_l.mul(E, F, _F), _l.mul(G, H, _F), _l.mul(F, G, _F), _l.mul(E, H, _F))
+    out = (_l.mul(E, F, _F), _l.mul(G, H, _F), _l.mul(F, G, _F))
+    return out + (_l.mul(E, H, _F),) if with_t else out
 
 
 def _neg(p):
@@ -135,8 +138,8 @@ def _scalar_mul_windowed(p, windows, width: int = 4):
     w_msb = jnp.moveaxis(windows, -1, 0)[::-1]
 
     def body(Q, d):
-        for _ in range(width):
-            Q = _double(Q)
+        for i in range(width):
+            Q = _double(Q, with_t=(i == width - 1))
         entry = tuple(
             jnp.take_along_axis(Tc, d[..., None, None], axis=-2).squeeze(-2)
             for Tc in T)
@@ -146,48 +149,98 @@ def _scalar_mul_windowed(p, windows, width: int = 4):
     return Q
 
 
-_FIXED_BASE_TABLE = None
+_FIXED_BASE_TABLES: dict[int, np.ndarray] = {}
+
+# Default comb width: 25 windows of 10 bits (measured fastest on v5e; the
+# 6.8 MB table still gathers cheaply and 25 < 32 mixed adds win).
+COMB_WIDTH = 10
 
 
-def _fixed_base_table() -> np.ndarray:
-    """[32, 256, 4, 22] int32: T[w][d] = d * 2^(8w) * B, computed once from
-    the oracle.  2.9 MB; lives in HBM as a jit constant.  This is the comb
+def _fixed_base_table(width: int = COMB_WIDTH) -> np.ndarray:
+    """[nwin, 2^width, 3, 22] int32 affine-Niels comb table:
+    T[w][d] = (y+x, y-x, 2d*x*y) of the affine point d * 2^(width*w) * B,
+    computed once from the oracle and disk-cached.  This is the comb
     generalization of the reference's 126-entry fixed-base table
-    (constants.rs:216-973)."""
-    global _FIXED_BASE_TABLE
-    if _FIXED_BASE_TABLE is None:
-        from .. import oracle as o
+    (constants.rs:216-973), in the precomputed form that admits the 7M mixed
+    addition below."""
+    tbl = _FIXED_BASE_TABLES.get(width)
+    if tbl is None:
+        import os
 
-        out = np.zeros((32, 256, 4, 22), dtype=np.int32)
-        base_w = o.BASEPOINT
-        for w in range(32):
-            acc = o.IDENTITY
-            for d in range(256):
-                for ci, cv in enumerate(acc):
-                    out[w, d, ci] = o.int_to_limbs(cv)
-                acc = o.point_add(acc, base_w)
-            base_w = acc  # acc == 256 * base_w == 2^(8(w+1)) * B
-        _FIXED_BASE_TABLE = out
-    return _FIXED_BASE_TABLE
+        nwin = -(-250 // width)
+        cache = os.path.expanduser(
+            f"~/.cache/zerocaf_tpu/comb_niels_w{width}.npy")
+        if os.path.exists(cache):
+            tbl = np.load(cache)
+        else:
+            from .. import oracle as o
+
+            tbl = np.zeros((nwin, 1 << width, 3, 22), dtype=np.int32)
+            base_w = o.BASEPOINT
+            for w in range(nwin):
+                acc = o.IDENTITY
+                for d in range(1 << width):
+                    x, y = o.point_to_affine(acc)
+                    tbl[w, d, 0] = o.int_to_limbs((y + x) % o.P)
+                    tbl[w, d, 1] = o.int_to_limbs((y - x) % o.P)
+                    tbl[w, d, 2] = o.int_to_limbs(2 * o.EDWARDS_D * x * y % o.P)
+                    acc = o.point_add(acc, base_w)
+                base_w = acc  # acc == 2^width * base_w
+            try:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                np.save(cache, tbl)
+            except OSError:
+                pass
+        _FIXED_BASE_TABLES[width] = tbl
+    return tbl
 
 
-@jax.jit
-def _fixed_base_mul(windows8):
-    """Fixed-base comb multiplication: B*k = sum_w T[w][digit_w] -- 31 point
-    additions and 32 table gathers, no doublings.  windows8: [..., 32] int32
-    8-bit digits (LSB-first)."""
-    tbl = jnp.asarray(_fixed_base_table())  # [32, 256, 4, 22]
+def _madd_niels(Q, entry):
+    """Mixed addition extended + affine-Niels (y+x, y-x, 2dxy), 7M -- the
+    a=-1 analogue of curve25519-dalek's AffineNielsPoint addition.  Valid for
+    every case the comb produces: entry may be the identity (1, 1, 0), Q may
+    be the identity, and Q == +/-entry cannot occur for nonzero entries
+    because every comb partial sum is strictly below the next table weight
+    (see _fixed_base_mul)."""
+    X1, Y1, Z1, T1 = Q
+    PP = _l.mul(_l.add(Y1, X1), entry[0], _F)
+    MM = _l.mul(_l.sub(Y1, X1), entry[1], _F)
+    TT = _l.mul(T1, entry[2], _F)
+    Z2 = _l.add(Z1, Z1)
+    E = _l.sub(PP, MM)
+    F = _l.sub(Z2, TT)
+    G = _l.add(Z2, TT)
+    H = _l.add(PP, MM)
+    return (_l.mul(E, F, _F), _l.mul(G, H, _F), _l.mul(F, G, _F), _l.mul(E, H, _F))
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _fixed_base_mul(windows, width: int = COMB_WIDTH):
+    """Fixed-base comb multiplication: B*k = sum_w T[w][digit_w] -- nwin
+    mixed 7M additions and nwin table gathers, no doublings.  windows:
+    [..., nwin] int32 width-bit digits (LSB-first).
+
+    Degeneracy argument for the non-unified mixed add: before adding window
+    w the accumulator holds (k mod 2^(width*w)) * B and the entry is
+    d_w * 2^(width*w) * B; their sum is (k mod 2^(width*(w+1))) * B with the
+    scalar value < min(2^(width*(w+1)), r), so acc == -entry forces both to
+    be the identity, which _madd_niels handles exactly."""
+    tbl = jnp.asarray(_fixed_base_table(width))  # [nwin, 2^width, 3, 22]
+    nwin = tbl.shape[0]
+    assert windows.shape[-1] == nwin, (windows.shape, nwin)
 
     def body(Q, wd):
         w, d = wd
-        entry_all = tbl[w]  # [256, 4, 22]
-        entry = tuple(jnp.take(entry_all[:, i], d, axis=0) for i in range(4))
-        return _add(Q, entry), None
+        entry_all = tbl[w]  # [2^width, 3, 22]
+        entry = tuple(jnp.take(entry_all[:, i], d, axis=0) for i in range(3))
+        return _madd_niels(Q, entry), None
 
-    d0 = windows8[..., 0]
-    Q0 = tuple(jnp.take(tbl[0][:, i], d0, axis=0) for i in range(4))
-    ws = jnp.arange(1, 32)
-    ds = jnp.moveaxis(windows8[..., 1:], -1, 0)
+    batch = windows.shape[:-1]
+    zero = jnp.zeros(batch + (22,), jnp.int32)
+    one = zero.at[..., 0].set(1)
+    Q0 = (zero, one, one, zero)
+    ws = jnp.arange(0, nwin)
+    ds = jnp.moveaxis(windows, -1, 0)
     Q, _ = jax.lax.scan(body, Q0, (ws, ds))
     return Q
 
@@ -303,11 +356,13 @@ class EdwardsPoint:
         return cls(X, Y, Z, T), ok
 
     @classmethod
-    def basepoint_mul(cls, scalar: Scalar) -> "EdwardsPoint":
-        """B*k via the fixed-base comb table: 31 adds, no doublings (the
-        high-throughput keygen path; generalizes window_naf_mul +
-        BASEPOINT_ODD_MULTIPLES_TABLE, edwards.rs:155-171)."""
-        return cls(*_fixed_base_mul(scalar.windows(8, 32)))
+    def basepoint_mul(cls, scalar: Scalar, width: int = COMB_WIDTH) -> "EdwardsPoint":
+        """B*k via the fixed-base affine-Niels comb table: ceil(250/width)
+        mixed 7M adds, no doublings (the high-throughput keygen path;
+        generalizes window_naf_mul + BASEPOINT_ODD_MULTIPLES_TABLE,
+        edwards.rs:155-171)."""
+        nwin = -(-250 // width)
+        return cls(*_fixed_base_mul(scalar.windows(width, nwin), width))
 
     @classmethod
     def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "EdwardsPoint":

@@ -188,8 +188,8 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
 
     # Horner over windows (MSB window first): T = 2^c * T + W_w
     def horner_step(T, w_rev):
-        for _ in range(c):
-            T = _ed._double(T)
+        for i in range(c):
+            T = _ed._double(T, with_t=(i == c - 1))
         Ww = tuple(t[w_rev] for t in tot)
         return _ed._add(T, Ww), None
 
@@ -251,8 +251,8 @@ def _combine_windows(tables, c: int, nbuckets: int):
         bucket_step, (ident_w, ident_w), jnp.arange(nbuckets - 1, 0, -1))
 
     def horner_step(T, w_rev):
-        for _ in range(c):
-            T = _ed._double(T)
+        for i in range(c):
+            T = _ed._double(T, with_t=(i == c - 1))
         Ww = tuple(t[w_rev] for t in tot)
         return _ed._add(T, Ww), None
 
