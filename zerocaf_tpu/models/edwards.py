@@ -151,9 +151,10 @@ def _scalar_mul_windowed(p, windows, width: int = 4):
 
 _FIXED_BASE_TABLES: dict[int, np.ndarray] = {}
 
-# Default comb width: 25 windows of 10 bits (measured fastest on v5e; the
-# 6.8 MB table still gathers cheaply and 25 < 32 mixed adds win).
-COMB_WIDTH = 10
+# Default comb width: 20 windows of 13 bits (measured fastest on v5e:
+# 2.35M mults/s vs 2.0M at width 10 at batch 16384; the 43 MB table is a
+# one-time ~25 s oracle build, then disk-cached).
+COMB_WIDTH = 13
 
 
 def _fixed_base_table(width: int = COMB_WIDTH) -> np.ndarray:
