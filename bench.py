@@ -82,6 +82,11 @@ elif metric == "fixed_base":
     nwin = -(-250 // cw)
     w = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
     def step(w):
+        # Bench-only chaining: the mangled digits are arbitrary width-cw
+        # vectors (values up to ~2^260), OUTSIDE the canonical-scalar
+        # precondition documented for _fixed_base_mul's non-unified
+        # _madd_niels.  Fine for throughput (op mix and memory traffic are
+        # digit-independent); the chained points are NOT correctness-bearing.
         Q = ed._fixed_base_mul(w, cw)
         mixed = jnp.concatenate([Q[0], Q[1], Q[2]], axis=-1)[..., :nwin]
         return (w + mixed) & ((1 << cw) - 1)

@@ -171,9 +171,16 @@ def _fixed_base_table(width: int = COMB_WIDTH) -> np.ndarray:
         nwin = -(-250 // width)
         cache = os.path.expanduser(
             f"~/.cache/zerocaf_tpu/comb_niels_w{width}.npy")
+        want_shape = (nwin, 1 << width, 3, 22)
         if os.path.exists(cache):
-            tbl = np.load(cache)
-        else:
+            try:
+                tbl = np.load(cache)
+            except (OSError, ValueError):
+                tbl = None  # truncated/corrupt file: rebuild
+            if tbl is not None and (tbl.shape != want_shape
+                                    or tbl.dtype != np.int32):
+                tbl = None  # stale format: rebuild
+        if tbl is None:
             from .. import oracle as o
 
             tbl = np.zeros((nwin, 1 << width, 3, 22), dtype=np.int32)
@@ -188,8 +195,12 @@ def _fixed_base_table(width: int = COMB_WIDTH) -> np.ndarray:
                     acc = o.point_add(acc, base_w)
                 base_w = acc  # acc == 2^width * base_w
             try:
+                # atomic publish: np.save to a temp file, then os.replace, so
+                # a killed process never leaves a truncated cache behind
                 os.makedirs(os.path.dirname(cache), exist_ok=True)
-                np.save(cache, tbl)
+                tmp = f"{cache}.{os.getpid()}.tmp.npy"  # keep .npy: np.save appends it otherwise
+                np.save(tmp, tbl)
+                os.replace(tmp, cache)
             except OSError:
                 pass
         _FIXED_BASE_TABLES[width] = tbl
