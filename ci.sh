@@ -19,6 +19,7 @@ $PYCPU tools/constants_gen.py > /dev/null && $PYCPU tools/derive_curve.py > /dev
 echo "== tests (serial groups) =="
 $PYCPU -m pytest tests/test_oracle.py tests/test_constants.py -q
 $PYCPU -m pytest tests/test_field.py -q
+$PYCPU -m pytest tests/test_field_f9.py -q
 $PYCPU -m pytest tests/test_scalar.py tests/test_points.py -q
 $PYCPU -m pytest tests/test_msm.py tests/test_sharding.py -q
 $PYCPU -m pytest tests/test_pallas.py tests/test_protocols.py -q

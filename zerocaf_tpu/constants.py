@@ -71,6 +71,27 @@ FOLD_C_P_LIMBS = fold_limbs(FOLD_C_P)
 FOLD_C_R_LIMBS = fold_limbs(FOLD_C_R)
 DELTA_R_LIMBS = fold_limbs(DELTA_R)
 
+# --- f32x29 backend (radix 2^9; arrays stay integer np.int32, runtime casts
+# to float32 at use sites -- see ops/limb.ModSpec) -------------------------
+
+
+def _limbs_f9(v: int, n: int = 29) -> np.ndarray:
+    return np.array(oracle.int_to_limbs(v % (1 << (9 * n)), n=n, w=9),
+                    dtype=np.int32)
+
+
+def fold_limbs_f9(c: int) -> np.ndarray:
+    """Fold constants are < 2^133 -> 15 limbs at radix 2^9."""
+    assert c < 1 << (9 * 15)
+    return np.array(oracle.int_to_limbs(c, n=15, w=9), dtype=np.int32)
+
+
+P_LIMBS_F9 = _limbs_f9(P)
+R_LIMBS_F9 = _limbs_f9(R)
+FOLD_C_P_LIMBS_F9 = fold_limbs_f9(FOLD_C_P)
+FOLD_C_R_LIMBS_F9 = fold_limbs_f9(FOLD_C_R)
+DELTA_R_LIMBS_F9 = fold_limbs_f9(DELTA_R)
+
 ZERO_LIMBS = _limbs(0)
 ONE_LIMBS = _limbs(1)
 EDWARDS_D_LIMBS = _limbs(EDWARDS_D)

@@ -52,16 +52,30 @@ L = NUM_LIMBS
 
 @dataclasses.dataclass(frozen=True)
 class ModSpec:
-    """A pseudo-Mersenne modulus m with 2^252 == -fold_c (mod m)."""
+    """A pseudo-Mersenne modulus m with 2^252 == -fold_c (mod m), plus the
+    limb-backend parameters (the TPU analogue of the reference's cargo
+    backend features, src/backend/mod.rs:9-16).  Two registered backends:
+
+      * i32x22 (default): radix 2^12, 22 int32 limbs -- products ride the
+        32-bit integer lanes; reduction fold rides the int8 MXU.
+      * f32x29: radix 2^9, 29 float32 limbs -- every schoolbook partial
+        product is one f32 FMA (exact: columns stay under 2^24), trading
+        more limbs for the VPU's fused-multiply-add rate.
+    """
 
     name: str
     m: int                      # python int modulus
-    m_limbs: np.ndarray         # [22] canonical limbs of m
-    fold_c_limbs: np.ndarray    # [12] limbs of fold_c < 2^133
+    m_limbs: np.ndarray         # [nlimbs] canonical limbs of m
+    fold_c_limbs: np.ndarray    # limbs of fold_c < 2^133
     # For the scalar field r = 2^249 + dr the canonical range is below
     # 2^249: final_fold_bits/final_c describe the last 2^249 fold.
     final_fold_bits: int | None = None
     final_c_limbs: np.ndarray | None = None
+    # Backend geometry (defaults = the i32x22 backend).
+    wbits: int = 12             # radix bits
+    nlimbs: int = 22
+    fold_limb: int = 21         # bit 252 == limb boundary fold_limb * wbits
+    np_dtype: type = np.int32
 
     def __hash__(self):  # make usable as a jit static arg
         return hash(self.name)
@@ -74,27 +88,53 @@ FIELD = ModSpec("field", C.P, C.P_LIMBS, C.FOLD_C_P_LIMBS)
 SCALAR = ModSpec("scalar", C.R, C.R_LIMBS, C.FOLD_C_R_LIMBS,
                  final_fold_bits=249, final_c_limbs=C.DELTA_R_LIMBS)
 
+# f32x29 backend: radix 2^9 (252 = 9 * 28 keeps the fold limb-aligned).
+FIELD_F9 = ModSpec("field_f9", C.P, C.P_LIMBS_F9, C.FOLD_C_P_LIMBS_F9,
+                   wbits=9, nlimbs=29, fold_limb=28, np_dtype=np.float32)
+SCALAR_F9 = ModSpec("scalar_f9", C.R, C.R_LIMBS_F9, C.FOLD_C_R_LIMBS_F9,
+                    final_fold_bits=249, final_c_limbs=C.DELTA_R_LIMBS_F9,
+                    wbits=9, nlimbs=29, fold_limb=28, np_dtype=np.float32)
+
+BACKENDS = {"i32x22": (FIELD, SCALAR), "f32x29": (FIELD_F9, SCALAR_F9)}
+
+
+def _wbits_of(x: jnp.ndarray) -> int:
+    """Backend radix from the array dtype (f32 limbs are radix 2^9)."""
+    return 9 if x.dtype == jnp.float32 else W
+
+
+def _split(x: jnp.ndarray, w: int):
+    """(remainder, carry) of each limb at radix 2^w, exact for both
+    backends.  int32: arithmetic shift + mask.  float32: floor-division --
+    exact because |x| < 2^24 at every call site and 2^-w scaling is lossless."""
+    if x.dtype == jnp.float32:
+        r = float(1 << w)
+        car = jnp.floor(x * (1.0 / r))
+        return x - car * r, car
+    return x & ((1 << w) - 1), x >> w
+
 
 # ---------------------------------------------------------------------------
 # Carry propagation
 # ---------------------------------------------------------------------------
 
 
-def carry_keep_top(x: jnp.ndarray, extra: int = 1, passes: int = 2) -> jnp.ndarray:
+def carry_keep_top(x: jnp.ndarray, extra: int = 1, passes: int = 2,
+                   w: int | None = None) -> jnp.ndarray:
     """Data-parallel carry passes.  Pads `extra` zero limbs, then each pass
     splits limbs 0..n-2 into (rem, carry) and adds the carry one limb up;
     the top limb accumulates raw (it carries the sign for negative values).
 
-    After 2 passes, non-top limbs are in [-13, 4096+13] (pass-1 carries are
-    <= 2^16.6, pass-2 carries <= 13), which keeps every downstream schoolbook
-    column inside int32; the top limb is bounded by the caller's value bound.
-    Works for signed inputs: `>>` is arithmetic, `& MASK` is nonnegative.
-    """
+    After 2 passes, non-top limbs are in [-13, radix+13] (pass-1 carries are
+    <= 2^16.6, pass-2 carries small), which keeps every downstream schoolbook
+    column inside the backend's exact range; the top limb is bounded by the
+    caller's value bound.  Works for signed inputs: the int32 `>>` is
+    arithmetic and the f32 floor-split matches it exactly."""
+    w = _wbits_of(x) if w is None else w
     pad = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
     x = jnp.pad(x, pad)
     for _ in range(passes):
-        rem = x & MASK
-        car = x >> W
+        rem, car = _split(x, w)
         # keep the top limb unsplit, add the incoming carry to it
         rem = jnp.concatenate([rem[..., :-1], x[..., -1:]], axis=-1)
         car = jnp.concatenate([jnp.zeros_like(car[..., :1]), car[..., :-1]], axis=-1)
@@ -102,15 +142,17 @@ def carry_keep_top(x: jnp.ndarray, extra: int = 1, passes: int = 2) -> jnp.ndarr
     return x
 
 
-def carry_exact(x: jnp.ndarray) -> jnp.ndarray:
+def carry_exact(x: jnp.ndarray, w: int | None = None) -> jnp.ndarray:
     """Exact sequential carry (lax.scan ripple).  Output limbs 0..n-2 are
-    canonical in [0, 4096); the top limb keeps the remaining signed value.
+    canonical in [0, radix); the top limb keeps the remaining signed value.
     Only used at observation boundaries, never in mul-heavy inner loops."""
+    w = _wbits_of(x) if w is None else w
     xt = jnp.moveaxis(x, -1, 0)  # [n, ...batch]
 
     def step(c, xi):
         t = xi + c
-        return t >> W, t & MASK
+        rem, car = _split(t, w)
+        return car, rem
 
     c, rems = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt[:-1])
     top = xt[-1] + c
@@ -142,34 +184,55 @@ def school(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # Pseudo-Mersenne reduction
 # ---------------------------------------------------------------------------
 
-FOLD_LIMB = 21  # bit 252 == limb boundary 21 * 12
+FOLD_LIMB = 21  # bit 252 == limb boundary 21 * 12 (i32x22 backend)
 
 
-def _fold(x: jnp.ndarray, c_limbs: jnp.ndarray) -> jnp.ndarray:
+def _fold(x: jnp.ndarray, c_limbs, spec: ModSpec) -> jnp.ndarray:
     """One fold: value(x) == value(L) - c * value(H)  (mod m), where
-    L = x[:21], H = x[21:].  Input must be semi-carried (|limbs| < ~2^17)."""
-    lo = x[..., :FOLD_LIMB]
-    hi = x[..., FOLD_LIMB:]
-    d = school(hi, jnp.asarray(c_limbs))  # [..., nh + 11]
-    ncols = max(FOLD_LIMB, d.shape[-1])
+    L = x[:fold_limb], H = x[fold_limb:].  Input must be semi-carried
+    (|limbs| < ~2^17)."""
+    fl = spec.fold_limb
+    lo = x[..., :fl]
+    hi = x[..., fl:]
+    d = school(hi, jnp.asarray(c_limbs, dtype=x.dtype))
+    ncols = max(fl, d.shape[-1])
     lo = jnp.pad(lo, [(0, 0)] * (lo.ndim - 1) + [(0, ncols - lo.shape[-1])])
     d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, ncols - d.shape[-1])])
-    return carry_keep_top(lo - d)
+    return carry_keep_top(lo - d, w=spec.wbits)
 
 
-def reduce_to_semi_cascade(cols: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
-    """Reduce product columns (up to 43 of them, int32-bounded) to the
-    semi-reduced 22-limb form with |value| < 2^253.
+def reduce_to_semi_cascade(cols: jnp.ndarray, spec: ModSpec,
+                           micro_fold: bool = False) -> jnp.ndarray:
+    """Reduce product columns to the semi-reduced nlimbs form with
+    |value| < 2^253.
 
-    Width walk for a full 506-bit product: 43 -> carry 44 -> fold 35 ->
-    fold 26 -> fold 22.  Shorter inputs converge faster; the Python loop
-    runs at trace time over static shapes.  This is the all-VPU cascade;
-    the default `reduce_to_semi` below moves the fold work onto the MXU."""
-    x = carry_keep_top(cols)
-    while x.shape[-1] > L:
-        x = _fold(x, spec.fold_c_limbs)
-    if x.shape[-1] < L:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
+    Width walk for a full 506-bit product (i32x22): 43 -> carry 44 ->
+    fold 35 -> fold 26 -> fold 22.  Shorter inputs converge faster; the
+    Python loop runs at trace time over static shapes.  This is the all-VPU
+    cascade; for the i32x22 backend the default `reduce_to_semi` below moves
+    the fold work onto the MXU instead.
+
+    micro_fold=True additionally folds the bits >= 252 still sitting in the
+    top limb(s) -- needed when the input VALUE may reach 2^(wbits*nlimbs)
+    (raw byte decodes) rather than the < 2^253-ish mul-output bound."""
+    n = spec.nlimbs
+    x = carry_keep_top(cols, w=spec.wbits)
+    while x.shape[-1] > n:
+        x = _fold(x, spec.fold_c_limbs, spec)
+    if x.shape[-1] < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    if micro_fold:
+        fl = spec.fold_limb
+        hi = x[..., fl:]
+        d = school(hi, jnp.asarray(spec.fold_c_limbs, dtype=x.dtype))
+        ncols = max(fl, d.shape[-1])
+        lo = jnp.pad(x[..., :fl],
+                     [(0, 0)] * (x.ndim - 1) + [(0, ncols - fl)])
+        d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, ncols - d.shape[-1])])
+        z = lo - d
+        z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, n - z.shape[-1])]) \
+            if z.shape[-1] < n else z[..., :n]
+        x = carry_keep_top(z, extra=0, passes=2, w=spec.wbits)
     return x
 
 
@@ -225,7 +288,12 @@ def reduce_to_semi(cols: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
     carried top limb stays 6-bit-digit-splittable.  Every caller is far
     inside this: mul/square columns of semi-reduced operands have value
     < 2^506 (n=43), wide-byte decodes < 2^512 (n=43), byte decodes < 2^256
-    (n=22)."""
+    (n=22).
+
+    f32x29 inputs take the all-FMA cascade instead (no int8 digit split
+    exists for float limbs; the cascade is pure fused multiply-add)."""
+    if cols.dtype == jnp.float32:
+        return reduce_to_semi_cascade(cols, spec, micro_fold=True)
     x = carry_keep_top(cols, extra=2)  # width n+2, limbs in [-53, ~4147]
     if x.shape[-1] > FOLD_LIMB + 2:
         nh = x.shape[-1] - FOLD_LIMB
@@ -333,37 +401,47 @@ def canonical(x: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
     """
     kbits = spec.final_fold_bits if spec.final_fold_bits is not None else 252
     c_limbs = spec.final_c_limbs if spec.final_c_limbs is not None else spec.fold_c_limbs
+    w, n = spec.wbits, spec.nlimbs
+    out_dtype = x.dtype
 
-    x = carry_exact(x)
+    x = carry_exact(x, w=w)
     negv = x[..., -1] < 0
-    x = x + jnp.where(negv[..., None], jnp.asarray(_shift_limbs(spec.m, 6)), 0)
-    x = carry_exact(x)  # nonneg, < 2^255 + 64m < 2^259
+    m64 = jnp.asarray(_shift_limbs(spec.m, 6, spec), dtype=x.dtype)
+    x = x + jnp.where(negv[..., None], m64, jnp.zeros_like(m64))
+    x = carry_exact(x, w=w)  # nonneg, < 2^255 + 64m < 2^259
+    if x.dtype == jnp.float32:
+        # exact cast: all limbs are canonical (< 2^9) except the top, which
+        # holds < 2^(259-252) = 2^7 -- far inside int32
+        x = x.astype(jnp.int32)
 
     # extract h = x >> kbits and low = x mod 2^kbits (kbits may straddle a limb)
-    limb_i, bit_i = divmod(kbits, W)
+    limb_i, bit_i = divmod(kbits, w)
     if bit_i == 0:
         h = x[..., limb_i]
         lo = jnp.concatenate(
             [x[..., :limb_i],
-             jnp.zeros_like(x[..., : L - limb_i])], axis=-1)
+             jnp.zeros_like(x[..., : n - limb_i])], axis=-1)
     else:
-        h = (x[..., limb_i] >> bit_i) + (x[..., limb_i + 1] << (W - bit_i))
+        h = (x[..., limb_i] >> bit_i) + (x[..., limb_i + 1] << (w - bit_i))
         lo = jnp.concatenate(
             [x[..., :limb_i], (x[..., limb_i] & ((1 << bit_i) - 1))[..., None],
-             jnp.zeros_like(x[..., : L - limb_i - 1])], axis=-1)
+             jnp.zeros_like(x[..., : n - limb_i - 1])], axis=-1)
     # h < 2^10; c < 2^133 -> h*c < 2^143
-    d = school(h[..., None], jnp.asarray(c_limbs))
-    d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, L - d.shape[-1])])
-    y = carry_exact(lo - d)
+    d = school(h[..., None], jnp.asarray(c_limbs, dtype=jnp.int32))
+    d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, n - d.shape[-1])])
+    y = carry_exact(lo - d, w=w)
     negv = y[..., -1] < 0
-    y = y + jnp.where(negv[..., None], jnp.asarray(spec.m_limbs), 0)
-    return carry_exact(y)
+    m1 = jnp.asarray(spec.m_limbs, dtype=jnp.int32)
+    y = y + jnp.where(negv[..., None], m1, jnp.zeros_like(m1))
+    return carry_exact(y, w=w).astype(out_dtype)
 
 
-def _shift_limbs(v: int, sh: int) -> np.ndarray:
+def _shift_limbs(v: int, sh: int, spec: ModSpec | None = None) -> np.ndarray:
     from .. import oracle
 
-    return np.array(oracle.int_to_limbs(v << sh, n=L), dtype=np.int32)
+    n = spec.nlimbs if spec is not None else L
+    w = spec.wbits if spec is not None else W
+    return np.array(oracle.int_to_limbs(v << sh, n=n, w=w), dtype=np.int32)
 
 
 @partial(jax.jit, static_argnums=2)
@@ -421,16 +499,47 @@ def limbs_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return (g[..., 0] + (g[..., 1] << 4)).astype(jnp.uint8)
 
 
+def bytes_to_limbs_gen(b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """[..., 32] uint8 -> [..., nlimbs] raw limbs at any radix, via a full
+    bit expansion (boundary-only cost; the 12-bit backend keeps the cheaper
+    nibble shuffle above)."""
+    bi = b.astype(jnp.int32)
+    bits = (bi[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+    bits = bits.reshape(*b.shape[:-1], 256)
+    w, n = spec.wbits, spec.nlimbs
+    bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, w * n - 256)])
+    g = bits.reshape(*b.shape[:-1], n, w)
+    weights = jnp.asarray((1 << np.arange(w)).astype(np.int32))
+    out = jnp.sum(g * weights, axis=-1, dtype=jnp.int32)
+    return out.astype(spec.np_dtype)
+
+
+def limbs_to_bytes_gen(x: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """[..., nlimbs] canonical limbs -> [..., 32] uint8 LE (generic radix)."""
+    w, n = spec.wbits, spec.nlimbs
+    xi = x.astype(jnp.int32)
+    bits = (xi[..., None] >> jnp.arange(w, dtype=jnp.int32)) & 1
+    bits = bits.reshape(*x.shape[:-1], n * w)[..., :256]
+    g = bits.reshape(*x.shape[:-1], 32, 8)
+    weights = jnp.asarray((1 << np.arange(8)).astype(np.int32))
+    return jnp.sum(g * weights, axis=-1, dtype=jnp.int32).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnums=1)
 def from_bytes(b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
     """Decode 32 LE bytes to a semi-reduced element (reduces the raw 256-bit
     value mod m, matching the reference's behavior-after-first-op)."""
-    return reduce_to_semi(bytes_to_limbs(b), spec)
+    if spec.wbits == 12:
+        return reduce_to_semi(bytes_to_limbs(b), spec)
+    return reduce_to_semi_cascade(bytes_to_limbs_gen(b, spec), spec,
+                                  micro_fold=True)
 
 
 @partial(jax.jit, static_argnums=1)
 def to_bytes(x: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
-    return limbs_to_bytes(canonical(x, spec))
+    if spec.wbits == 12:
+        return limbs_to_bytes(canonical(x, spec))
+    return limbs_to_bytes_gen(canonical(x, spec), spec)
 
 
 # ---------------------------------------------------------------------------
@@ -441,16 +550,23 @@ def to_bytes(x: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
 @partial(jax.jit, static_argnums=(1, 2))
 def to_bits(x: jnp.ndarray, spec: ModSpec, nbits: int = 256) -> jnp.ndarray:
     """Canonical LSB-first bits [..., nbits] (scalar.rs:352-366)."""
-    xc = canonical(x, spec)
-    bits = (xc[..., None] >> jnp.arange(W, dtype=jnp.int32)) & 1
-    return bits.reshape(*x.shape[:-1], L * W)[..., :nbits]
+    w, n = spec.wbits, spec.nlimbs
+    xc = canonical(x, spec).astype(jnp.int32)
+    bits = (xc[..., None] >> jnp.arange(w, dtype=jnp.int32)) & 1
+    bits = bits.reshape(*x.shape[:-1], n * w)
+    if bits.shape[-1] < nbits:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1)
+                       + [(0, nbits - bits.shape[-1])])
+    return bits[..., :nbits]
 
 
 def from_int(v: int, spec: ModSpec) -> jnp.ndarray:
     """Embed a python int as a constant element (canonical limbs)."""
     from .. import oracle
 
-    return jnp.asarray(np.array(oracle.int_to_limbs(v % spec.m), dtype=np.int32))
+    return jnp.asarray(np.array(
+        oracle.int_to_limbs(v % spec.m, n=spec.nlimbs, w=spec.wbits),
+        dtype=spec.np_dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -467,7 +583,7 @@ def pow_const(a: jnp.ndarray, e: int, spec: ModSpec) -> jnp.ndarray:
     Replaces the reference's data-dependent pow loop (field.rs:325-355)."""
     assert e >= 0
     if e == 0:
-        return jnp.broadcast_to(from_int(1, spec), a.shape).astype(jnp.int32)
+        return jnp.broadcast_to(from_int(1, spec), a.shape).astype(a.dtype)
     bits = np.array([int(b) for b in bin(e)[2:]], dtype=np.int32)  # MSB-first
 
     def body(res, bit):
@@ -475,7 +591,7 @@ def pow_const(a: jnp.ndarray, e: int, spec: ModSpec) -> jnp.ndarray:
         res = select(bit.astype(bool), mul(res, a, spec), res)
         return res, None
 
-    one = jnp.broadcast_to(from_int(1, spec), a.shape).astype(jnp.int32)
+    one = jnp.broadcast_to(from_int(1, spec), a.shape).astype(a.dtype)
     res, _ = jax.lax.scan(body, one, jnp.asarray(bits))
     return res
 
@@ -485,7 +601,7 @@ def pow_batched(a: jnp.ndarray, e_bits: jnp.ndarray, spec: ModSpec) -> jnp.ndarr
     """a^e for per-element exponents given as LSB-first bits [..., nbits].
     Fixed 253-trip ladder with selects (constant trip count for XLA)."""
     nbits = e_bits.shape[-1]
-    one = jnp.broadcast_to(from_int(1, spec), a.shape).astype(jnp.int32)
+    one = jnp.broadcast_to(from_int(1, spec), a.shape).astype(a.dtype)
 
     def body(carrystate, bit):
         res, base = carrystate
