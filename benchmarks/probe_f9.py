@@ -88,6 +88,41 @@ def main():
             t = time_chain(lambda a, s=spec: l.square(a, s), x)
             report(f"sq_{name}", t)
 
+    if want("mul_pallas"):
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        x, y = operands(l.FIELD)
+        t = time_chain(lambda a, y=y: fk.mul_tiled(a, y, l.FIELD), x)
+        report("mul_pallas", t)
+
+    if want("fused_win"):
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        from zerocaf_tpu import constants as C
+        batch = int(os.environ.get("BENCH_BATCH", 16384))
+        rng = np.random.default_rng(0)
+        base = np.broadcast_to(C.BASEPOINT.astype(np.int32),
+                               (batch, 4, 22)).copy()
+        pt = tuple(jnp.asarray(base[:, i]) for i in range(4))
+        w = jnp.asarray(rng.integers(0, 16, (batch, 63)).astype(np.int32))
+
+        def step(p):
+            return fk.scalar_mul_windowed_fused(p, w, 4)
+
+        t = time_chain(step, pt, iters=2)
+        print(json.dumps({"probe": "fused_win", "batch": batch,
+                          "mults_per_s": round(batch / t, 1),
+                          "ms_per_call": round(t * 1e3, 2)}), flush=True)
+
+    if want("mul_cascade"):
+        # XLA path but with the all-VPU cascade fold instead of the MXU dot
+        x, y = operands(l.FIELD)
+
+        @jax.jit
+        def mc(a, b):
+            return l.reduce_to_semi_cascade(l.school(a, b), l.FIELD)
+
+        t = time_chain(lambda a, y=y: mc(a, y), x)
+        report("mul_cascade", t)
+
 
 if __name__ == "__main__":
     main()

@@ -95,6 +95,7 @@ DELTA_R_LIMBS_F9 = fold_limbs_f9(DELTA_R)
 ZERO_LIMBS = _limbs(0)
 ONE_LIMBS = _limbs(1)
 EDWARDS_D_LIMBS = _limbs(EDWARDS_D)
+EDWARDS_2D_LIMBS = _limbs(2 * EDWARDS_D % P)   # Niels-form table scale
 EDWARDS_A_LIMBS = _limbs(EDWARDS_A)
 SQRT_M1_LIMBS = _limbs(SQRT_M1)
 C6_LIMBS = _limbs(C6)

@@ -93,6 +93,242 @@ def _mul_kernel(a_ref, b_ref, out_ref, *, c_limbs):
     out_ref[L:] = jnp.zeros_like(out_ref[L:])
 
 
+# ---------------------------------------------------------------------------
+# Fused point kernels: the whole variable-base scalar multiplication ladder
+# runs inside ONE Pallas program per lane block -- table build, doublings,
+# one-hot table selection and additions all VMEM-resident.  Measured basis:
+# a lone Pallas field mul is 1.77 ns vs 4.34 ns for the XLA path on v5e
+# (benchmarks/probe_f9.py), and the fused ladder removes the remaining
+# HBM round-trips between point ops.
+#
+# Laziness discipline (bounds for int32 schoolbook columns, radix 2^12):
+#   * semi limbs are < 2^12.1 (after a carry pass)
+#   * mul operands may be ONE add deep (<= 2^13.1): 22*2^13.1*2^13.1 < 2^30.7
+#   * square operands must be semi:      23*2^12.1*2^13.1 < 2^29.8
+#   * anything deeper gets one _c1 pass (a single split+add round)
+# ---------------------------------------------------------------------------
+
+
+def _c1(x):
+    """One keep-top carry pass on [rows, N] (limbs |x| < 2^17 -> semi)."""
+    rem = x & MASK
+    car = x >> W
+    rem = jnp.concatenate([rem[:-1], x[-1:]], axis=0)
+    car = jnp.concatenate([jnp.zeros_like(car[:1]), car[:-1]], axis=0)
+    return rem + car
+
+
+def _sq_cols(a):
+    """Squaring columns on [22, N] blocks (school_square, limb-major)."""
+    na = a.shape[0]
+    ncols = 2 * na - 1
+    a2 = a * 2
+    out = None
+    for i in range(na):
+        row = a[i : i + 1] * a2[i:]
+        row = jnp.pad(row, [(2 * i, na - 1 - i)] + [(0, 0)] * (row.ndim - 1))
+        out = row if out is None else out + row
+    diag = a * a
+    z = jnp.zeros_like(diag)
+    inter = jnp.stack([diag, z], axis=1).reshape(2 * na, *a.shape[1:])[:ncols]
+    return out - inter
+
+
+def _reduce_block(cols, c_limbs):
+    """Carry + cascade-fold product columns to semi [22, N]."""
+    cols = jnp.pad(cols, [(0, 1)] + [(0, 0)] * (cols.ndim - 1))
+    x = _carry3(cols)
+    while x.shape[0] > L:
+        x = _fold_once(x, c_limbs)
+    return x[:L]
+
+
+def _sqb(a, c_limbs):
+    """Square a semi operand -> semi."""
+    return _reduce_block(_sq_cols(a), c_limbs)
+
+
+def _mulb(a, b, c_limbs):
+    """Multiply (each operand at most one add deep) -> semi."""
+    return _reduce_block(_school_cols(a, b, L, L), c_limbs)
+
+
+def _mul_const(a, k_limbs, c_limbs):
+    """Multiply a semi operand by a compile-time constant (python-int
+    limbs), like _fold_once's baked scalar multiplies."""
+    nk = len(k_limbs)
+    nd = L + nk - 1
+    d = None
+    for i, ki in enumerate(k_limbs):
+        if ki:
+            term = jnp.pad(ki * a, [(i, nd - L - i)] + [(0, 0)] * (a.ndim - 1))
+            d = term if d is None else d + term
+    return _reduce_block(d, c_limbs)
+
+
+def _pdbl_block(P, c_limbs, with_t=True):
+    """dbl-2008-hwcd doubling (a=-1) on block tuples (X, Y, Z[, T])."""
+    X, Y, Z = P[0], P[1], P[2]
+    A = _sqb(X, c_limbs)
+    B = _sqb(Y, c_limbs)
+    Zs = _sqb(Z, c_limbs)
+    Cc = Zs + Zs                       # 2-deep
+    S = _c1(X + Y)                     # semi (square operand)
+    E = _c1(_sqb(S, c_limbs) - A - B)  # 3-deep -> carry
+    G = B - A                          # 2-deep (ok for mul)
+    F = _c1(G - Cc)                    # 4-deep -> carry
+    H = (-A) - B                       # 2-deep
+    out = (_mulb(E, F, c_limbs), _mulb(G, H, c_limbs), _mulb(F, G, c_limbs))
+    if with_t:
+        out = out + (_mulb(E, H, c_limbs),)
+    return out
+
+
+def _madd_block(Q, e, c_limbs):
+    """Extended + projective-Niels addition, 8M (the a=-1 analogue of
+    curve25519-dalek's ProjectiveNielsPoint add).  e = (Y+X, Y-X, Z, 2d*T),
+    all semi.  Unified: identity entries (1, 1, 1, 0) and Q == +-e work."""
+    X1, Y1, Z1, T1 = Q
+    PP = _mulb(Y1 + X1, e[0], c_limbs)
+    MM = _mulb(Y1 - X1, e[1], c_limbs)
+    TT = _mulb(T1, e[3], c_limbs)
+    ZZ = _mulb(Z1, e[2], c_limbs)
+    ZZ2 = ZZ + ZZ
+    E = _c1(PP - MM)                   # carried: E*H below needs semi x 2-deep
+    F = _c1(ZZ2 - TT)
+    G = _c1(ZZ2 + TT)
+    H = PP + MM                        # 2-deep
+    return (_mulb(E, F, c_limbs), _mulb(G, H, c_limbs),
+            _mulb(F, G, c_limbs), _mulb(E, H, c_limbs))
+
+
+def _padd_ext_block(P, Q, d_limbs, c_limbs):
+    """Unified extended-extended HWCD addition (table build only)."""
+    X1, Y1, Z1, T1 = P
+    X2, Y2, Z2, T2 = Q
+    A = _mulb(X1, X2, c_limbs)
+    B = _mulb(Y1, Y2, c_limbs)
+    Cc = _mul_const(_mulb(T1, T2, c_limbs), d_limbs, c_limbs)
+    Dd = _mulb(Z1, Z2, c_limbs)
+    S = _mulb(X1 + Y1, X2 + Y2, c_limbs)
+    E = _c1(S - A - B)
+    F = _c1(Dd - Cc)
+    G = _c1(Dd + Cc)
+    H = A + B
+    return (_mulb(E, F, c_limbs), _mulb(G, H, c_limbs),
+            _mulb(F, G, c_limbs), _mulb(E, H, c_limbs))
+
+
+def _identity_blocks(shape2d):
+    zero = jnp.zeros(shape2d, jnp.int32)
+    # no .at[].set -- Mosaic has no scatter; build the 1-in-limb-0 pattern
+    # from an iota compare instead
+    one = (jax.lax.broadcasted_iota(jnp.int32, shape2d, 0) == 0).astype(jnp.int32)
+    return (zero, one, one, zero)
+
+
+def _windowed_kernel(pt_ref, dig_ref, out_ref, *, d2_limbs, c_limbs,
+                     nwin, width, d_limbs):
+    """Whole windowed variable-base ladder for one lane block.
+
+    pt_ref:  [128, B] int32 -- rows 0:22 X, 32:54 Y, 64:86 Z, 96:118 T
+    dig_ref: [nwin_pad, B] int32 -- row i = digit of window (nwin-1-i)
+             (MSB-first, pre-reversed by the wrapper)
+    out_ref: [128, B] like pt_ref."""
+    X = pt_ref[0:L]
+    Y = pt_ref[32:32 + L]
+    Z = pt_ref[64:64 + L]
+    T = pt_ref[96:96 + L]
+    nb = 1 << width
+
+    # table of small multiples in extended form, then Niels form
+    ext = [_identity_blocks(X.shape), (X, Y, Z, T)]
+    for _ in range(2, nb):
+        ext.append(_padd_ext_block(ext[-1], (X, Y, Z, T), d_limbs, c_limbs))
+    niels = [(_c1(y + x), _c1(y - x), z, _mul_const(t, d2_limbs, c_limbs))
+             for (x, y, z, t) in ext]
+    n_stack = tuple(jnp.stack([niels[k][i] for k in range(nb)])  # [nb, 22, B]
+                    for i in range(4))
+
+    def step(i, Q):
+        for j in range(width):
+            Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
+        d = dig_ref[i, :]  # [B]
+        e = tuple(ns[0] for ns in n_stack)
+        for k in range(1, nb):
+            m = (d == k)[None, :]
+            e = tuple(jnp.where(m, ns[k], ec) for ns, ec in zip(n_stack, e))
+        return _madd_block(Q, e, c_limbs)
+
+    Q = jax.lax.fori_loop(0, nwin, step, _identity_blocks(X.shape))
+
+    out_ref[0:L] = Q[0]
+    out_ref[32:32 + L] = Q[1]
+    out_ref[64:64 + L] = Q[2]
+    out_ref[96:96 + L] = Q[3]
+    for lo in (L, 32 + L, 64 + L, 96 + L):
+        pad = 32 - L if lo != 96 + L else 128 - (96 + L)
+        out_ref[lo:lo + pad] = jnp.zeros((pad,) + Q[0].shape[1:], jnp.int32)
+
+
+WIN_LANES = 512  # lane block for the fused ladder (VMEM: table ~7 MB at 512)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def scalar_mul_windowed_fused(pt, windows, width: int = 4,
+                              interpret: bool = False):
+    """Fused-ladder windowed scalar multiplication.
+
+    pt: 4-tuple of [N, 22] int32 (broadcasting batches NOT supported here --
+    the caller broadcasts first); windows: [N, nwin] int32 LSB-first digits.
+    Returns the 4-tuple of [N, 22] semi-reduced coordinates."""
+    from ... import constants as C
+
+    X = pt[0]
+    shape = X.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    nwin = windows.shape[-1]
+    n_pad = -(-n // WIN_LANES) * WIN_LANES
+
+    def prep(c):
+        c2 = jnp.broadcast_to(c, shape + (L,)).reshape(n, L)
+        c2 = jnp.pad(c2, [(0, n_pad - n), (0, 0)])
+        return jnp.pad(c2.T, [(0, 32 - L), (0, 0)])  # [32, n_pad]
+
+    pt_stack = jnp.concatenate([prep(c) for c in pt], axis=0)  # [128, n_pad]
+    dig = windows.reshape(n, nwin)[:, ::-1].T  # MSB-first rows
+    nwin_pad = -(-nwin // 8) * 8
+    dig = jnp.pad(dig, [(0, nwin_pad - nwin), (0, 0)])
+    dig = jnp.pad(dig, [(0, 0), (0, n_pad - n)])
+
+    kern = functools.partial(
+        _windowed_kernel,
+        d2_limbs=tuple(int(v) for v in np.asarray(C.EDWARDS_2D_LIMBS)),
+        d_limbs=tuple(int(v) for v in np.asarray(C.EDWARDS_D_LIMBS)),
+        c_limbs=tuple(int(v) for v in FIELD.fold_c_limbs),
+        nwin=nwin, width=width)
+    grid = (n_pad // WIN_LANES,)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((128, WIN_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwin_pad, WIN_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, WIN_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pt_stack, dig)
+
+    def unprep(lo):
+        return out[lo:lo + L].T[:n].reshape(*shape, L)
+
+    return tuple(unprep(lo) for lo in (0, 32, 64, 96))
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def mul_tiled(a, b, spec: ModSpec = FIELD, interpret: bool = False):
     """Batched modular multiply via Pallas.

@@ -42,6 +42,43 @@ from .comm import Communicator
 DEFAULT_C = 8
 
 
+def auto_c(n: int) -> int:
+    """Window width minimizing measured wall time for the sort+scan
+    formulation: per-point work scales with nwin = ceil(250/c), so larger N
+    (which amortizes the nwin * 2^(c-1) bucket-combine) wants bigger c."""
+    if n <= 1 << 12:
+        return 8
+    if n <= 1 << 14:
+        return 10
+    if n <= 1 << 16:
+        return 12
+    return 14
+
+
+@partial(jax.jit, static_argnames=("c",))
+def signed_digits(windows: jnp.ndarray, c: int):
+    """Recode unsigned c-bit windows into signed digits in
+    [-(2^(c-1)-1), 2^(c-1)] (the batched mods_2_pow_k, scalar.rs:433-442).
+
+    Returns (mag, sign): mag in [0, 2^(c-1)], sign True where the digit is
+    negative.  Halves the Pippenger bucket count: bucket tables index |d|
+    and the point is conditionally negated instead.  The carry out of the
+    top window is always zero for canonical scalars (value < 2^250 <=
+    2^(c * nwin) / 2)."""
+    half = 1 << (c - 1)
+    w_t = jnp.moveaxis(windows, -1, 0)  # [nwin, ...]
+
+    def step(carry, w):
+        d = w + carry
+        flip = d > half
+        d = jnp.where(flip, d - (half * 2), d)
+        return flip.astype(jnp.int32), d
+
+    _, ds = jax.lax.scan(step, jnp.zeros_like(w_t[0]), w_t)
+    ds = jnp.moveaxis(ds, 0, -1)
+    return jnp.abs(ds), ds < 0
+
+
 def _shift_down(arr, dist, fill):
     """arr[i] <- arr[i - dist] with `fill` rows shifted in; dist is traced."""
     n = arr.shape[0]
@@ -159,17 +196,25 @@ def _tree_reduce(points):
     return tuple(c[0] for c in points)
 
 
-@partial(jax.jit, static_argnames=("c", "nwin"))
-def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
+@partial(jax.jit, static_argnames=("c", "nwin", "signed"))
+def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32,
+               signed: bool = True):
     """Local Pippenger over one shard.
 
-    pt: point pytree, coords [N, 22]; windows: [N, nwin] int32 digits.
-    Returns a single point pytree ([22] coords)."""
-    N = windows.shape[0]
-    nbuckets = 1 << c
+    pt: point pytree, coords [N, 22]; windows: [N, nwin] int32 unsigned
+    digits (recoded to signed form in-graph when signed=True, which halves
+    the bucket count).  Returns a single point pytree ([22] coords)."""
+    if signed:
+        mag, sgn = signed_digits(windows, c)
+        nbuckets = (1 << (c - 1)) + 1
 
-    def one_window(w):
-        return _bucket_table(pt, windows[:, w], nbuckets)
+        def one_window(w):
+            return _bucket_table(pt, mag[:, w], nbuckets, sign=sgn[:, w])
+    else:
+        nbuckets = 1 << c
+
+        def one_window(w):
+            return _bucket_table(pt, windows[:, w], nbuckets)
 
     # [nwin, nbuckets, 22] bucket tables, all windows batched
     tables = jax.vmap(one_window, out_axes=0)(jnp.arange(nwin))
@@ -198,15 +243,22 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32):
     return T
 
 
-def _bucket_table(pt, digits, nbuckets: int):
+def _bucket_table(pt, digits, nbuckets: int, sign=None):
     """One Pippenger window: sort by digit, work-efficient segmented
     exclusive scan, then scatter BOTH the exclusive prefix and the original
     point at each segment end and add the two [nbuckets]-wide tables --
     bucket[d] = exclusive[end_d] + point[end_d] = that segment's sum.
-    (Adding post-scatter avoids an N-wide inclusive-fixup add.)"""
+    (Adding post-scatter avoids an N-wide inclusive-fixup add.)
+
+    sign (optional [N] bool): conditionally negate each point (signed-digit
+    Pippenger; digits are then magnitudes in [0, 2^(c-1)])."""
     order = jnp.argsort(digits)
     d_sorted = digits[order]
     p_sorted = tuple(coord[order] for coord in pt)
+    if sign is not None:
+        s = sign[order]
+        neg = _ed._neg(p_sorted)
+        p_sorted = _ed._select(s, neg, p_sorted)
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
     excl = _seg_exclusive_scan(p_sorted, starts)
@@ -231,6 +283,12 @@ def _window_buckets(pt, digits, nbuckets: int):
     reused for every window (the fused _msm_local graph is too large for this
     rig's remote TPU compiler; see CLAUDE.md)."""
     return _bucket_table(pt, digits, nbuckets)
+
+
+@partial(jax.jit, static_argnames=("nbuckets",))
+def _window_buckets_signed(pt, mag, sign, nbuckets: int):
+    """Signed-digit variant of _window_buckets."""
+    return _bucket_table(pt, mag, nbuckets, sign=sign)
 
 
 @partial(jax.jit, static_argnames=("c", "nbuckets"))
@@ -261,27 +319,41 @@ def _combine_windows(tables, c: int, nbuckets: int):
     return T
 
 
-def msm(points: EdwardsPoint, scalars: Scalar, c: int = DEFAULT_C,
-        fused: bool = False) -> EdwardsPoint:
+def msm(points: EdwardsPoint, scalars: Scalar, c: int | None = None,
+        fused: bool = False, signed: bool = True) -> EdwardsPoint:
     """Single-device MSM: sum(k_i * P_i) (BASELINE.json config 3-4).
 
     Default path runs one small jitted kernel per window (python loop) plus
     one combine kernel -- three small graphs total, friendly to slow/fragile
     compilers.  fused=True uses the single-graph _msm_local (what shard_map
-    traces)."""
-    nwin = -(-250 // c)
+    traces).  c=None picks the window width by N (auto_c); signed digits
+    halve the bucket count (standard mods recoding, scalar.rs:433-442)."""
+    if c is None:
+        c = auto_c(int(np.prod(points.shape)))
+    # 251 bits of window coverage: the signed recode's carry out of window
+    # w lands in window w+1, and canonical scalars reach 2^250 - 1.
+    nwin = -(-251 // c)
     windows = scalars.windows(c, nwin)
     pt = points._tuple()
     if fused:
-        return EdwardsPoint(*_msm_local(pt, windows, c=c, nwin=nwin))
-    nbuckets = 1 << c
-    per_w = [_window_buckets(pt, windows[:, w], nbuckets) for w in range(nwin)]
+        return EdwardsPoint(*_msm_local(pt, windows, c=c, nwin=nwin,
+                                        signed=signed))
+    if signed:
+        mag, sgn = signed_digits(windows, c)
+        nbuckets = (1 << (c - 1)) + 1
+        per_w = [_window_buckets_signed(pt, mag[:, w], sgn[:, w], nbuckets)
+                 for w in range(nwin)]
+    else:
+        nbuckets = 1 << c
+        per_w = [_window_buckets(pt, windows[:, w], nbuckets)
+                 for w in range(nwin)]
     tables = tuple(jnp.stack([pw[i] for pw in per_w]) for i in range(4))
     return EdwardsPoint(*_combine_windows(tables, c, nbuckets))
 
 
 def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
-                c: int = DEFAULT_C, axis: str = "data") -> EdwardsPoint:
+                c: int | None = None, axis: str = "data",
+                signed: bool = True) -> EdwardsPoint:
     """Mesh-sharded MSM: points/scalars sharded over `axis`, one partial
     point per device, all_gather + tree-reduce (bit-exact in any order).
 
@@ -289,13 +361,16 @@ def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    nwin = -(-250 // c)
+    if c is None:
+        c = auto_c(int(np.prod(points.shape)))
+    nwin = -(-251 // c)  # see msm(): signed-carry coverage
     windows = scalars.windows(c, nwin)
     pt = points._tuple()
     comm = Communicator(axis)
 
     def local(pt_shard, win_shard):
-        partial_pt = _msm_local(pt_shard, win_shard, c=c, nwin=nwin)
+        partial_pt = _msm_local(pt_shard, win_shard, c=c, nwin=nwin,
+                                signed=signed)
         gathered = comm.all_gather_points(tuple(x[None] for x in partial_pt))
         gathered = tuple(g.reshape(-1, 22) for g in gathered)
         return _tree_reduce(gathered)
