@@ -73,7 +73,12 @@ pt = tuple(base[:, i] for i in range(4))
 
 if metric == "windowed":
     w = jnp.asarray(rng.integers(0, 16, (batch, 63)).astype(np.int32))
-    t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, 4), pt, 1)
+    if jax.devices()[0].platform == "tpu":
+        # fused Pallas ladder (the production TPU path; bit-exact vs XLA)
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        t = time_chain(lambda p: fk.scalar_mul_windowed_fused(p, w, 4), pt, 1)
+    else:
+        t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, 4), pt, 1)
 elif metric == "ladder":
     b = jnp.asarray(rng.integers(0, 2, (batch, 250)).astype(np.int32))
     t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)

@@ -54,3 +54,33 @@ class TestPallasFieldMul:
         ref = l.mul(A2, B, l.FIELD)
         assert (np.asarray(l.canonical(got, l.FIELD))
                 == np.asarray(l.canonical(ref, l.FIELD))).all()
+
+
+class TestFusedWindowedLadder:
+    def test_matches_xla_windowed(self):
+        """The fused whole-ladder kernel is bit-exact vs the XLA windowed
+        path (compressed encodings compared)."""
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.models.ristretto import _compress
+        from zerocaf_tpu import constants as C
+
+        n = 96
+        base = np.broadcast_to(C.BASEPOINT.astype(np.int32), (n, 4, 22)).copy()
+        pt = tuple(jnp.asarray(base[:, i]) for i in range(4))
+        w = jnp.asarray(rng.integers(0, 16, (n, 63)).astype(np.int32))
+        ref = ed._scalar_mul_windowed(pt, w, 4)
+        got = fk.scalar_mul_windowed_fused(pt, w, 4, interpret=True)
+        assert (np.asarray(_compress(got)) == np.asarray(_compress(ref))).all()
+
+    def test_mul_windowed_use_fused_flag(self):
+        """Public API: use_fused=True (interpret on CPU is implicit via
+        jax.default_backend) must equal the plain path."""
+        from zerocaf_tpu import EdwardsPoint, Scalar
+
+        s = Scalar.from_int([5, 77, 123456789])
+        B = EdwardsPoint.basepoint((3,))
+        a = B.mul_windowed(s, use_fused=False)
+        # fused path on CPU compiles through Pallas interpret=False on CPU
+        # backend -- exercise only the dispatcher defaulting here
+        b = B.mul_windowed(s)
+        assert bool(jnp.all(a.eq(b)))

@@ -405,11 +405,29 @@ class EdwardsPoint:
         bits = scalar.into_bits(250)
         return EdwardsPoint(*_scalar_mul(self._tuple(), bits))
 
-    def mul_windowed(self, scalar: Scalar, width: int = 4) -> "EdwardsPoint":
-        """Faster fixed-window multiplication (see _scalar_mul_windowed)."""
+    def mul_windowed(self, scalar: Scalar, width: int = 4,
+                     use_fused: bool | None = None) -> "EdwardsPoint":
+        """Faster fixed-window multiplication (see _scalar_mul_windowed).
+
+        On TPU the whole ladder runs as one fused Pallas kernel per lane
+        block (ops/pallas/field_kernels.scalar_mul_windowed_fused): table
+        build, doublings and one-hot table selection all VMEM-resident.
+        The one-hot select reads every table entry for every lane, so the
+        fused path's memory access pattern is secret-independent (unlike
+        the XLA path's take_along_axis gather)."""
         nwin = -(-250 // width)
+        windows = scalar.windows(width, nwin)
+        if use_fused is None:
+            from ..config import DEFAULT as _cfg
+            use_fused = (_cfg.use_pallas and width == 4
+                         and jax.default_backend() == "tpu")
+        if use_fused:
+            from ..ops.pallas import field_kernels as _fk
+            pt = _broadcast_point(self._tuple(), windows.shape[:-1])
+            return EdwardsPoint(*_fk.scalar_mul_windowed_fused(
+                pt, windows, width))
         return EdwardsPoint(*_scalar_mul_windowed(
-            self._tuple(), scalar.windows(width, nwin), width))
+            self._tuple(), windows, width))
 
     def __rmul__(self, scalar: Scalar) -> "EdwardsPoint":
         return self.__mul__(scalar)

@@ -247,17 +247,17 @@ def _windowed_kernel(pt_ref, dig_ref, out_ref, *, d2_limbs, c_limbs,
         ext.append(_padd_ext_block(ext[-1], (X, Y, Z, T), d_limbs, c_limbs))
     niels = [(_c1(y + x), _c1(y - x), z, _mul_const(t, d2_limbs, c_limbs))
              for (x, y, z, t) in ext]
-    n_stack = tuple(jnp.stack([niels[k][i] for k in range(nb)])  # [nb, 22, B]
-                    for i in range(4))
+    # keep table entries as 2D values (a [nb, 22, B] stack compiles
+    # pathologically in Mosaic); the one-hot select walks the python list
 
     def step(i, Q):
         for j in range(width):
             Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
         d = dig_ref[i, :]  # [B]
-        e = tuple(ns[0] for ns in n_stack)
+        e = niels[0]
         for k in range(1, nb):
             m = (d == k)[None, :]
-            e = tuple(jnp.where(m, ns[k], ec) for ns, ec in zip(n_stack, e))
+            e = tuple(jnp.where(m, nk, ec) for nk, ec in zip(niels[k], e))
         return _madd_block(Q, e, c_limbs)
 
     Q = jax.lax.fori_loop(0, nwin, step, _identity_blocks(X.shape))
@@ -271,7 +271,126 @@ def _windowed_kernel(pt_ref, dig_ref, out_ref, *, d2_limbs, c_limbs,
         out_ref[lo:lo + pad] = jnp.zeros((pad,) + Q[0].shape[1:], jnp.int32)
 
 
-WIN_LANES = 512  # lane block for the fused ladder (VMEM: table ~7 MB at 512)
+# --- fallback: per-step kernels with the Niels table staged in HBM --------
+# The monolithic ladder kernel above stresses the remote Mosaic compiler;
+# this variant compiles two small kernels (table build; one window step)
+# and drives the 63 steps from a lax.scan.  Extra cost: the Q state and the
+# table round-trip HBM between steps (~2.3 MB per block-step, ~10 ms per
+# 16k-lane call at v5e bandwidth -- small vs the compute).
+
+
+def _table_kernel(pt_ref, tbl_ref, *, d2_limbs, c_limbs, d_limbs, nb):
+    """Build the Niels table: tbl rows [(k*4 + j)*32 : +22] = coord j of
+    entry k (coords: Y+X, Y-X, Z, 2dT)."""
+    X = pt_ref[0:L]
+    Y = pt_ref[32:32 + L]
+    Z = pt_ref[64:64 + L]
+    T = pt_ref[96:96 + L]
+    ext = [_identity_blocks(X.shape), (X, Y, Z, T)]
+    for _ in range(2, nb):
+        ext.append(_padd_ext_block(ext[-1], (X, Y, Z, T), d_limbs, c_limbs))
+    zpad = jnp.zeros((32 - L,) + X.shape[1:], jnp.int32)
+    for k, (x, y, z, t) in enumerate(ext):
+        e = (_c1(y + x), _c1(y - x), z, _mul_const(t, d2_limbs, c_limbs))
+        for j in range(4):
+            lo = (k * 4 + j) * 32
+            tbl_ref[lo:lo + L] = e[j]
+            tbl_ref[lo + L:lo + 32] = zpad
+
+
+def _step_kernel(q_ref, tbl_ref, dig_ref, out_ref, *, c_limbs, width, nb):
+    """One windowed-ladder step: width doublings + one-hot Niels add."""
+    Q = tuple(q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    for j in range(width):
+        Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
+    d = dig_ref[0, :]
+    e = tuple(tbl_ref[j * 32:j * 32 + L] for j in range(4))
+    for k in range(1, nb):
+        m = (d == k)[None, :]
+        e = tuple(jnp.where(m, tbl_ref[(k * 4 + j) * 32:(k * 4 + j) * 32 + L],
+                            ec) for j, ec in enumerate(e))
+    Q = _madd_block(Q, e, c_limbs)
+    zpad = jnp.zeros((32 - L,) + Q[0].shape[1:], jnp.int32)
+    for j, lo in enumerate((0, 32, 64, 96)):
+        out_ref[lo:lo + L] = Q[j]
+        out_ref[lo + L:lo + 32] = zpad
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def scalar_mul_windowed_stepped(pt, windows, width: int = 4,
+                                interpret: bool = False):
+    """Windowed variable-base multiplication from two small Pallas kernels
+    (table build + per-step), scanned over windows.  Same math as
+    scalar_mul_windowed_fused; trades HBM round-trips between steps for a
+    compiler-friendly kernel size."""
+    from ... import constants as C
+
+    X = pt[0]
+    shape = X.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    nwin = windows.shape[-1]
+    nb = 1 << width
+    B = WIN_LANES
+    n_pad = -(-n // B) * B
+
+    def prep(c):
+        c2 = jnp.broadcast_to(c, shape + (L,)).reshape(n, L)
+        c2 = jnp.pad(c2, [(0, n_pad - n), (0, 0)])
+        return jnp.pad(c2.T, [(0, 32 - L), (0, 0)])
+
+    pt_stack = jnp.concatenate([prep(c) for c in pt], axis=0)  # [128, n_pad]
+    d2 = tuple(int(v) for v in np.asarray(C.EDWARDS_2D_LIMBS))
+    dl = tuple(int(v) for v in np.asarray(C.EDWARDS_D_LIMBS))
+    cl = tuple(int(v) for v in FIELD.fold_c_limbs)
+    grid = (n_pad // B,)
+
+    tbl = pl.pallas_call(
+        functools.partial(_table_kernel, d2_limbs=d2, c_limbs=cl,
+                          d_limbs=dl, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((nb * 4 * 32, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((128, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb * 4 * 32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pt_stack)
+
+    step_call = pl.pallas_call(
+        functools.partial(_step_kernel, c_limbs=cl, width=width, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((128, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * 4 * 32, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    # identity start state, [128, n_pad]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, n_pad), 0)
+    q0 = ((iota == 32) | (iota == 64)).astype(jnp.int32)
+
+    dig = windows.reshape(n, nwin)[:, ::-1].T  # [nwin, n] MSB-first
+    dig = jnp.pad(dig, [(0, 0), (0, n_pad - n)])
+    dig8 = jnp.broadcast_to(dig[:, None, :], (nwin, 8, n_pad))
+
+    def body(q, d_row):
+        return step_call(q, tbl, d_row), None
+
+    qf, _ = jax.lax.scan(body, q0, dig8)
+
+    def unprep(lo):
+        return qf[lo:lo + L].T[:n].reshape(*shape, L)
+
+    return tuple(unprep(lo) for lo in (0, 32, 64, 96))
+
+
+WIN_LANES = 256  # lane block for the fused ladder (VMEM: tables + temps)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret"))

@@ -1,0 +1,122 @@
+"""Serving-shape API: fixed-batch, donation-friendly, wire-in/wire-out.
+
+The reference is a library of single-value ops; the production TPU shape is
+a pinned-batch pipeline: 32-byte wire arrays in, 32-byte wire arrays out,
+one jitted graph per (op, batch), input buffers donated so steady-state
+serving allocates nothing.  This module packages the four protocol
+workloads a zerocaf user deploys:
+
+  * keygen:        seed bytes -> (secret scalar bytes, Ristretto public key)
+  * dh:            secret bytes + peer public key -> shared secret
+  * hash_to_group: 64 uniform bytes -> Ristretto point (Elligator x2)
+  * msm:           points + scalars -> aggregate point (batch verification)
+
+Ragged traffic pads to the pinned batch (`pad_batch`) -- XLA recompiles per
+shape otherwise.  All graphs are compiled lazily on first use and cached on
+the instance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.edwards import EdwardsPoint
+from .models import ristretto as _ri
+from .scalar import Scalar
+from .ops import limb as _l
+
+
+def pad_batch(arr: np.ndarray, batch: int):
+    """Pad axis 0 up to `batch`; returns (padded, n_valid)."""
+    n = arr.shape[0]
+    if n > batch:
+        raise ValueError(f"batch {n} exceeds engine batch {batch}")
+    if n == batch:
+        return arr, n
+    pad = np.zeros((batch - n,) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0), n
+
+
+class Engine:
+    """Pinned-batch serving engine.
+
+    batch:    the compiled lane count (pad ragged requests with pad_batch).
+    donate:   donate input device buffers (steady-state zero-alloc).
+    """
+
+    def __init__(self, batch: int = 16384, donate: bool = True):
+        self.batch = batch
+        self._jit = partial(jax.jit, donate_argnums=(0,)) if donate else jax.jit
+        self._fns: dict[str, callable] = {}
+
+    # -- pipelines (built lazily, cached) -----------------------------------
+
+    def _fn(self, name, build):
+        f = self._fns.get(name)
+        if f is None:
+            f = self._fns[name] = build()
+        return f
+
+    def keygen(self, seed64: jnp.ndarray):
+        """[batch, 64] uniform seed bytes -> (sk [batch,32], pk [batch,32]).
+
+        sk is the canonical scalar encoding of the wide-reduced seed; pk is
+        the Ristretto wire encoding of sk * B (fixed-base comb)."""
+        def build():
+            def f(seed):
+                sk = Scalar.from_bytes_wide(seed)
+                pk = _ri._compress(
+                    EdwardsPoint.basepoint_mul(sk)._tuple())
+                return sk.to_bytes(), pk
+            return self._jit(f)
+        return self._fn("keygen", build)(seed64)
+
+    def dh(self, sk32: jnp.ndarray, peer32: jnp.ndarray):
+        """[batch, 32] scalar bytes + [batch, 32] peer Ristretto wire ->
+        ([batch, 32] shared wire, ok mask).  Invalid peer encodings report
+        ok=False (their lanes hold garbage, as the decode mask dictates)."""
+        def build():
+            def f(sk, peer):
+                s, _ = Scalar.from_bytes(sk)
+                p, ok = _ri._decompress(peer)
+                q = EdwardsPoint(*p) * s
+                return _ri._compress(q._tuple()), ok
+            # peer buffer also consumed
+            return (jax.jit(f, donate_argnums=(0, 1))
+                    if self._jit is not jax.jit else jax.jit(f))
+        return self._fn("dh", build)(sk32, peer32)
+
+    def hash_to_group(self, uniform64: jnp.ndarray):
+        """[batch, 64] uniform bytes -> [batch, 32] Ristretto wire
+        (from_uniform_bytes, ristretto.rs:493-507)."""
+        def build():
+            def f(b):
+                p = _ri.RistrettoPoint.from_uniform_bytes(b)
+                return p.compress()
+            return self._jit(f)
+        return self._fn("hash_to_group", build)(uniform64)
+
+    def msm(self, points_wire: jnp.ndarray, scalar32: jnp.ndarray,
+            c: int | None = None):
+        """[n, 32] Ristretto wire + [n, 32] scalar bytes -> ([32] wire, ok).
+
+        Decodes, checks validity, runs Pippenger, re-encodes.  Lanes with
+        invalid point encodings make ok False for the whole aggregate (the
+        caller must reject the batch -- matching verifier semantics)."""
+        from .parallel.msm import msm as _msm_fn
+
+        pts, okp = _ri._decompress(points_wire)
+        s, _ = Scalar.from_bytes(scalar32)
+        total = _msm_fn(EdwardsPoint(*pts), s, c=c)
+        wire = _ri._compress(total._tuple())
+        return wire, jnp.all(okp)
+
+    # -- introspection -------------------------------------------------------
+
+    def compiled(self):
+        """Names of the pipelines compiled so far."""
+        return sorted(self._fns)
