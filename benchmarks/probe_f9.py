@@ -104,13 +104,39 @@ def main():
         pt = tuple(jnp.asarray(base[:, i]) for i in range(4))
         w = jnp.asarray(rng.integers(0, 16, (batch, 63)).astype(np.int32))
 
+        variant = os.environ.get("FUSED_VARIANT", "fused")
+        fn = (fk.scalar_mul_windowed_fused if variant == "fused"
+              else fk.scalar_mul_windowed_stepped)
+
         def step(p):
-            return fk.scalar_mul_windowed_fused(p, w, 4)
+            return fn(p, w, 4)
 
         t = time_chain(step, pt, iters=2)
-        print(json.dumps({"probe": "fused_win", "batch": batch,
+        print(json.dumps({"probe": f"{variant}_win", "batch": batch,
                           "mults_per_s": round(batch / t, 1),
                           "ms_per_call": round(t * 1e3, 2)}), flush=True)
+
+    if want("padd"):
+        # batched point add: fused Pallas kernel vs XLA path (incl. the
+        # layout transposes the Pallas wrapper pays)
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        from zerocaf_tpu import constants as C
+        n = 1 << 17
+        rng = np.random.default_rng(0)
+        base = np.broadcast_to(C.BASEPOINT.astype(np.int32), (n, 4, 22)).copy()
+        P = tuple(jnp.asarray(base[:, i]) for i in range(4))
+
+        def step_x(p):
+            return ed._add(p, p)
+
+        def step_p(p):
+            return fk.padd_tiled(p, p)
+
+        for nm, st in (("padd_xla", step_x), ("padd_pallas", step_p)):
+            t = time_chain(st, P, iters=8)
+            print(json.dumps({"probe": nm, "n": n,
+                              "ns_per_add": round(t / n * 1e9, 3)}), flush=True)
 
     if want("mul_cascade"):
         # XLA path but with the all-VPU cascade fold instead of the MXU dot

@@ -241,22 +241,29 @@ def _windowed_kernel(pt_ref, dig_ref, out_ref, *, d2_limbs, c_limbs,
     T = pt_ref[96:96 + L]
     nb = 1 << width
 
-    # table of small multiples in extended form, then Niels form
-    ext = [_identity_blocks(X.shape), (X, Y, Z, T)]
+    # table of small multiples in extended form, then Niels form.  Entry 0
+    # (identity) is literal constants: running block math on trace-time
+    # constants crashes the Mosaic backend (splat-slicing bug).
+    ext = [(X, Y, Z, T)]
     for _ in range(2, nb):
         ext.append(_padd_ext_block(ext[-1], (X, Y, Z, T), d_limbs, c_limbs))
-    niels = [(_c1(y + x), _c1(y - x), z, _mul_const(t, d2_limbs, c_limbs))
-             for (x, y, z, t) in ext]
+    zero, one, _, _ = _identity_blocks(X.shape)
+    niels = [(one, one, one, zero)]
+    niels += [(_c1(y + x), _c1(y - x), z, _mul_const(t, d2_limbs, c_limbs))
+              for (x, y, z, t) in ext]
     # keep table entries as 2D values (a [nb, 22, B] stack compiles
     # pathologically in Mosaic); the one-hot select walks the python list
 
     def step(i, Q):
         for j in range(width):
             Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
-        d = dig_ref[i, :]  # [B]
+        # digits replicated over 8 sublanes per window (see wrapper); build
+        # a [22, B] mask source -- no 1-extent dims (Mosaic select crash)
+        d8 = jax.lax.dynamic_slice_in_dim(dig_ref[:], i * 8, 8, axis=0)
+        d22 = jnp.concatenate([d8, d8, d8[: L - 16]], axis=0)
         e = niels[0]
         for k in range(1, nb):
-            m = (d == k)[None, :]
+            m = d22 == k
             e = tuple(jnp.where(m, nk, ec) for nk, ec in zip(niels[k], e))
         return _madd_block(Q, e, c_limbs)
 
@@ -269,6 +276,65 @@ def _windowed_kernel(pt_ref, dig_ref, out_ref, *, d2_limbs, c_limbs,
     for lo in (L, 32 + L, 64 + L, 96 + L):
         pad = 32 - L if lo != 96 + L else 128 - (96 + L)
         out_ref[lo:lo + pad] = jnp.zeros((pad,) + Q[0].shape[1:], jnp.int32)
+
+
+def _padd_kernel(p_ref, q_ref, out_ref, *, d_limbs, c_limbs):
+    """Unified extended-extended addition on [128, B] stacked coords."""
+    P = tuple(p_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    Q = tuple(q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    R = _padd_ext_block(P, Q, d_limbs, c_limbs)
+    zpad = jnp.zeros((32 - L,) + R[0].shape[1:], jnp.int32)
+    for j, lo in enumerate((0, 32, 64, 96)):
+        out_ref[lo:lo + L] = R[j]
+        out_ref[lo + L:lo + 32] = zpad
+
+
+PADD_LANES = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def padd_tiled(p, q, interpret: bool = False):
+    """Batched unified point addition via one fused Pallas kernel.
+
+    p, q: 4-tuples of [..., 22] int32 extended coords (same batch shape).
+    Drop-in for models.edwards._add on the TPU hot paths (MSM scans): one
+    kernel does all 10 field muls VMEM-resident instead of ~10 separate
+    XLA fusions with HBM round-trips."""
+    from ... import constants as C
+
+    shape = p[0].shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    n_pad = -(-n // PADD_LANES) * PADD_LANES
+
+    def prep(pt):
+        cols = []
+        for c in pt:
+            c2 = jnp.broadcast_to(c, shape + (L,)).reshape(n, L)
+            c2 = jnp.pad(c2, [(0, n_pad - n), (0, 0)])
+            cols.append(jnp.pad(c2.T, [(0, 32 - L), (0, 0)]))
+        return jnp.concatenate(cols, axis=0)  # [128, n_pad]
+
+    dl = tuple(int(v) for v in np.asarray(C.EDWARDS_D_LIMBS))
+    cl = tuple(int(v) for v in FIELD.fold_c_limbs)
+    out = pl.pallas_call(
+        functools.partial(_padd_kernel, d_limbs=dl, c_limbs=cl),
+        out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+        grid=(n_pad // PADD_LANES,),
+        in_specs=[
+            pl.BlockSpec((128, PADD_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, PADD_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, PADD_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(prep(p), prep(q))
+
+    def unprep(lo):
+        return out[lo:lo + L].T[:n].reshape(*shape, L)
+
+    return tuple(unprep(lo) for lo in (0, 32, 64, 96))
 
 
 # --- fallback: per-step kernels with the Niels table staged in HBM --------
@@ -286,11 +352,19 @@ def _table_kernel(pt_ref, tbl_ref, *, d2_limbs, c_limbs, d_limbs, nb):
     Y = pt_ref[32:32 + L]
     Z = pt_ref[64:64 + L]
     T = pt_ref[96:96 + L]
-    ext = [_identity_blocks(X.shape), (X, Y, Z, T)]
+    # entry 0 (identity) is written as literal constants -- running the
+    # block math on trace-time constants crashes the Mosaic backend
+    # (multi-lane-tile splat slicing); entries >= 1 are variable data.
+    ext = [(X, Y, Z, T)]
     for _ in range(2, nb):
         ext.append(_padd_ext_block(ext[-1], (X, Y, Z, T), d_limbs, c_limbs))
     zpad = jnp.zeros((32 - L,) + X.shape[1:], jnp.int32)
-    for k, (x, y, z, t) in enumerate(ext):
+    zero, one, _, _ = _identity_blocks(X.shape)
+    for j, e0 in enumerate((one, one, one, zero)):  # Niels identity
+        tbl_ref[j * 32:j * 32 + L] = e0
+        tbl_ref[j * 32 + L:j * 32 + 32] = zpad
+    for k1, (x, y, z, t) in enumerate(ext):
+        k = k1 + 1
         e = (_c1(y + x), _c1(y - x), z, _mul_const(t, d2_limbs, c_limbs))
         for j in range(4):
             lo = (k * 4 + j) * 32
@@ -303,10 +377,14 @@ def _step_kernel(q_ref, tbl_ref, dig_ref, out_ref, *, c_limbs, width, nb):
     Q = tuple(q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
     for j in range(width):
         Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
-    d = dig_ref[0, :]
+    # digits arrive replicated across 8 sublanes; assemble a full-height
+    # [22, B] copy so the select mask has no 1-extent dims (the remote
+    # Mosaic backend crashes on selects with [1, B]-broadcast predicates)
+    d8 = dig_ref[0:8, :]
+    d22 = jnp.concatenate([d8, d8, d8[: L - 16]], axis=0)
     e = tuple(tbl_ref[j * 32:j * 32 + L] for j in range(4))
     for k in range(1, nb):
-        m = (d == k)[None, :]
+        m = d22 == k
         e = tuple(jnp.where(m, tbl_ref[(k * 4 + j) * 32:(k * 4 + j) * 32 + L],
                             ec) for j, ec in enumerate(e))
     Q = _madd_block(Q, e, c_limbs)
@@ -416,9 +494,11 @@ def scalar_mul_windowed_fused(pt, windows, width: int = 4,
 
     pt_stack = jnp.concatenate([prep(c) for c in pt], axis=0)  # [128, n_pad]
     dig = windows.reshape(n, nwin)[:, ::-1].T  # MSB-first rows
-    nwin_pad = -(-nwin // 8) * 8
-    dig = jnp.pad(dig, [(0, nwin_pad - nwin), (0, 0)])
     dig = jnp.pad(dig, [(0, 0), (0, n_pad - n)])
+    # replicate each window's digit row over 8 sublanes (kernel mask source)
+    dig = jnp.broadcast_to(dig[:, None, :], (nwin, 8, n_pad)).reshape(
+        nwin * 8, n_pad)
+    nwin_pad = nwin * 8
 
     kern = functools.partial(
         _windowed_kernel,

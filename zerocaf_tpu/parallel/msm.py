@@ -41,6 +41,24 @@ from .comm import Communicator
 # Default window width: 250 bits / 8 -> 32 windows, 256 buckets.
 DEFAULT_C = 8
 
+# Route wide batched adds through the fused Pallas kernel on TPU (one
+# VMEM-resident kernel vs ~10 XLA fusions per add); narrow adds keep the
+# XLA path (lane padding to the Pallas block would dominate).
+_PALLAS_MIN_LANES = 4096
+
+
+def _padd(p, q):
+    """Batched unified add with automatic Pallas routing."""
+    n = 1
+    for s in p[0].shape[:-1]:
+        n *= int(s)
+    if n >= _PALLAS_MIN_LANES and jax.default_backend() == "tpu":
+        from ..config import DEFAULT as _cfg
+        if _cfg.use_pallas:
+            from ..ops.pallas import field_kernels as _fk
+            return _fk.padd_tiled(p, q)
+    return _ed._add(p, q)
+
 
 def auto_c(n: int) -> int:
     """Window width minimizing measured wall time for the sort+scan
@@ -105,7 +123,7 @@ def _segmented_scan_points(pts, starts):
         dist = jnp.int32(1) << d
         p_l = tuple(_shift_down(c, dist, ic[0]) for c, ic in zip(p, ident))
         f_l = _shift_down(f, dist, jnp.zeros((), jnp.int32))
-        merged = _ed._add(p_l, p)
+        merged = _padd(p_l, p)
         keep = f.astype(bool)  # element starts a segment: do not accumulate
         p = _ed._select(keep, p, merged)
         return p, f | f_l
@@ -155,7 +173,7 @@ def _seg_exclusive_scan(pts, starts):
         vL = tuple(col(c, d, l) for c in v)
         vR = tuple(col(c, d, r) for c in v)
         f2L, f2R = col(f2, d, l), col(f2, d, r)
-        merged = _ed._add(vR, vL)
+        merged = _padd(vR, vL)
         vR = _ed._select(f2R == 0, merged, vR)
         v = tuple(setcol(c, d, r, nc) for c, nc in zip(v, vR))
         f2 = setcol(f2, d, r, f2R | f2L)
@@ -168,7 +186,7 @@ def _seg_exclusive_scan(pts, starts):
         vR = tuple(col(c, d, r) for c in v)
         f_next = col(f_orig, d, l + 1)   # right half's first element
         f2L = col(f2, d, l)
-        summed = _ed._add(vL, vR)
+        summed = _padd(vL, vR)
         new_r = _ed._select(f_next == 1, _ed._identity_like(vL),
                             _ed._select(f2L == 1, vL, summed))
         v = tuple(setcol(c, d, l, nc) for c, nc in zip(v, vR))   # v[l] = v[r]
@@ -187,7 +205,7 @@ def _tree_reduce(points):
         half = m // 2
         even = tuple(c[: 2 * half : 2] for c in points)
         odd = tuple(c[1 : 2 * half : 2] for c in points)
-        merged = _ed._add(even, odd)
+        merged = _padd(even, odd)
         if m % 2:
             merged = tuple(jnp.concatenate([mc, c[-1:]], axis=0)
                            for mc, c in zip(merged, points))
@@ -274,7 +292,7 @@ def _bucket_table(pt, digits, nbuckets: int, sign=None):
             .at[idx].set(coord)[:nbuckets]
             for coord, ident_limb0 in zip(coords, (0, 1, 1, 0)))
 
-    return _ed._add(scatter(excl), scatter(p_sorted))
+    return _padd(scatter(excl), scatter(p_sorted))
 
 
 @partial(jax.jit, static_argnames=("nbuckets",))
