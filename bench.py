@@ -76,7 +76,8 @@ if metric == "windowed":
     if jax.devices()[0].platform == "tpu":
         # fused Pallas ladder (the production TPU path; bit-exact vs XLA)
         from zerocaf_tpu.ops.pallas import field_kernels as fk
-        t = time_chain(lambda p: fk.scalar_mul_windowed_fused(p, w, 4), pt, 1)
+        # iters=2 matches benchmarks/probe_f9.py's graphs: warm-cache hit
+        t = time_chain(lambda p: fk.scalar_mul_windowed_stepped(p, w, 4), pt, 2)
     else:
         t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, 4), pt, 1)
 elif metric == "ladder":
@@ -86,13 +87,18 @@ elif metric == "fixed_base":
     cw = ed.COMB_WIDTH
     nwin = -(-250 // cw)
     w = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
+    if jax.devices()[0].platform == "tpu":
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw)
+    else:
+        _comb = lambda w: ed._fixed_base_mul(w, cw)
     def step(w):
         # Bench-only chaining: the mangled digits are arbitrary width-cw
         # vectors (values up to ~2^260), OUTSIDE the canonical-scalar
         # precondition documented for _fixed_base_mul's non-unified
         # _madd_niels.  Fine for throughput (op mix and memory traffic are
         # digit-independent); the chained points are NOT correctness-bearing.
-        Q = ed._fixed_base_mul(w, cw)
+        Q = _comb(w)
         mixed = jnp.concatenate([Q[0], Q[1], Q[2]], axis=-1)[..., :nwin]
         return (w + mixed) & ((1 << cw) - 1)
     t = time_chain(step, w, 8)
@@ -118,7 +124,7 @@ elif metric == "msm":
     pts = EdwardsPoint.basepoint_mul(Scalar.random(k1, (n,)))
     sc = Scalar.random(k2, (n,))
     def run_msm():
-        out = _msm(pts, sc, c=8)
+        out = _msm(pts, sc)  # auto window width + signed digits
         np.asarray(out.X[0])  # host readback: full completion
         return out
     run_msm()
@@ -174,7 +180,7 @@ def main() -> None:
     # batch 16384 amortizes per-scan-step overheads (measured: 3x the
     # throughput of 4096 on v5e); CPU CI overrides via BENCH_BATCH.
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    timeout = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "1200"))
     force_cpu = bool(os.environ.get("BENCH_FORCE_CPU"))
 
     results = {}

@@ -116,6 +116,26 @@ def main():
                           "mults_per_s": round(batch / t, 1),
                           "ms_per_call": round(t * 1e3, 2)}), flush=True)
 
+    if want("fixed_pallas"):
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        batch = int(os.environ.get("BENCH_BATCH", 16384))
+        rng = np.random.default_rng(0)
+        cw = ed.COMB_WIDTH
+        nwin = -(-250 // cw)
+        w0 = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
+
+        for nm, fn in (("fixed_xla", lambda w: ed._fixed_base_mul(w, cw)),
+                       ("fixed_pallas",
+                        lambda w: fk.fixed_base_mul_stepped(w, cw))):
+            def step(w, fn=fn):
+                Q = fn(w)
+                mixed = jnp.concatenate([Q[0], Q[1], Q[2]], axis=-1)[..., :nwin]
+                return (w + mixed) & ((1 << cw) - 1)
+            t = time_chain(step, w0, iters=8)
+            print(json.dumps({"probe": nm, "batch": batch,
+                              "mults_per_s": round(batch / t, 1)}), flush=True)
+
     if want("padd"):
         # batched point add: fused Pallas kernel vs XLA path (incl. the
         # layout transposes the Pallas wrapper pays)

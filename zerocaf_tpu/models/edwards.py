@@ -368,13 +368,22 @@ class EdwardsPoint:
         return cls(X, Y, Z, T), ok
 
     @classmethod
-    def basepoint_mul(cls, scalar: Scalar, width: int = COMB_WIDTH) -> "EdwardsPoint":
+    def basepoint_mul(cls, scalar: Scalar, width: int = COMB_WIDTH,
+                      use_fused: bool | None = None) -> "EdwardsPoint":
         """B*k via the fixed-base affine-Niels comb table: ceil(250/width)
         mixed 7M adds, no doublings (the high-throughput keygen path;
         generalizes window_naf_mul + BASEPOINT_ODD_MULTIPLES_TABLE,
-        edwards.rs:155-171)."""
+        edwards.rs:155-171).  On TPU the 7M adds run as a fused Pallas
+        kernel (table gather stays in XLA)."""
         nwin = -(-250 // width)
-        return cls(*_fixed_base_mul(scalar.windows(width, nwin), width))
+        windows = scalar.windows(width, nwin)
+        if use_fused is None:
+            from ..config import DEFAULT as _cfg
+            use_fused = _cfg.use_pallas and jax.default_backend() == "tpu"
+        if use_fused:
+            from ..ops.pallas import field_kernels as _fk
+            return cls(*_fk.fixed_base_mul_stepped(windows, width))
+        return cls(*_fixed_base_mul(windows, width))
 
     @classmethod
     def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "EdwardsPoint":
@@ -424,7 +433,7 @@ class EdwardsPoint:
         if use_fused:
             from ..ops.pallas import field_kernels as _fk
             pt = _broadcast_point(self._tuple(), windows.shape[:-1])
-            return EdwardsPoint(*_fk.scalar_mul_windowed_fused(
+            return EdwardsPoint(*_fk.scalar_mul_windowed_stepped(
                 pt, windows, width))
         return EdwardsPoint(*_scalar_mul_windowed(
             self._tuple(), windows, width))

@@ -259,7 +259,7 @@ def _windowed_kernel(pt_ref, dig_ref, out_ref, *, d2_limbs, c_limbs,
             Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
         # digits replicated over 8 sublanes per window (see wrapper); build
         # a [22, B] mask source -- no 1-extent dims (Mosaic select crash)
-        d8 = jax.lax.dynamic_slice_in_dim(dig_ref[:], i * 8, 8, axis=0)
+        d8 = dig_ref[pl.ds(i * 8, 8), :]
         d22 = jnp.concatenate([d8, d8, d8[: L - 16]], axis=0)
         e = niels[0]
         for k in range(1, nb):
@@ -333,6 +333,79 @@ def padd_tiled(p, q, interpret: bool = False):
 
     def unprep(lo):
         return out[lo:lo + L].T[:n].reshape(*shape, L)
+
+    return tuple(unprep(lo) for lo in (0, 32, 64, 96))
+
+
+def _madd_affine_kernel(q_ref, e_ref, out_ref, *, c_limbs):
+    """Mixed addition extended + affine-Niels entry (y+x, y-x, 2dxy), 7M --
+    the Pallas form of models.edwards._madd_niels.  e_ref rows: 0:22 y+x,
+    32:54 y-x, 64:86 2dxy."""
+    X1, Y1, Z1, T1 = (q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    PP = _mulb(Y1 + X1, e_ref[0:L], c_limbs)
+    MM = _mulb(Y1 - X1, e_ref[32:32 + L], c_limbs)
+    TT = _mulb(T1, e_ref[64:64 + L], c_limbs)
+    Z2 = Z1 + Z1
+    E = _c1(PP - MM)
+    F = _c1(Z2 - TT)
+    G = _c1(Z2 + TT)
+    H = PP + MM
+    R = (_mulb(E, F, c_limbs), _mulb(G, H, c_limbs),
+         _mulb(F, G, c_limbs), _mulb(E, H, c_limbs))
+    zpad = jnp.zeros((32 - L,) + R[0].shape[1:], jnp.int32)
+    for j, lo in enumerate((0, 32, 64, 96)):
+        out_ref[lo:lo + L] = R[j]
+        out_ref[lo + L:lo + 32] = zpad
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def fixed_base_mul_stepped(windows, width, interpret: bool = False):
+    """Fixed-base comb multiplication with the 7M mixed adds fused in
+    Pallas.  The per-window gather from the (shared, 2^width-entry) comb
+    table stays in XLA -- per-lane gathers from large shared tables are
+    XLA's strength and Mosaic's weakness; only the field math moves into
+    the kernel.  Bit-compatible with models.edwards._fixed_base_mul."""
+    from ...models import edwards as _edm
+
+    tbl = jnp.asarray(_edm._fixed_base_table(width))  # [nwin, 2^w, 3, 22]
+    nwin = tbl.shape[0]
+    shape = windows.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    B = PADD_LANES
+    n_pad = -(-n // B) * B
+    win = windows.reshape(n, nwin)
+    win = jnp.pad(win, [(0, n_pad - n), (0, 0)])
+
+    cl = tuple(int(v) for v in FIELD.fold_c_limbs)
+    madd = pl.pallas_call(
+        functools.partial(_madd_affine_kernel, c_limbs=cl),
+        out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+        grid=(n_pad // B,),
+        in_specs=[
+            pl.BlockSpec((128, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((96, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, n_pad), 0)
+    q0 = ((iota == 32) | (iota == 64)).astype(jnp.int32)
+
+    def body(q, wd):
+        w_idx, d = wd
+        entry = jnp.take(tbl[w_idx], d, axis=0)      # [n_pad, 3, 22]
+        e = entry.transpose(1, 2, 0)                 # [3, 22, n_pad]
+        e = jnp.pad(e, [(0, 0), (0, 32 - L), (0, 0)]).reshape(96, n_pad)
+        return madd(q, e), None
+
+    ws = jnp.arange(nwin)
+    ds = jnp.moveaxis(win, 0, -1)                    # [nwin, n_pad]
+    qf, _ = jax.lax.scan(body, q0, (ws, ds))
+
+    def unprep(lo):
+        return qf[lo:lo + L].T[:n].reshape(*shape, L)
 
     return tuple(unprep(lo) for lo in (0, 32, 64, 96))
 
