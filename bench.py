@@ -82,7 +82,13 @@ if metric == "windowed":
         t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, 4), pt, 1)
 elif metric == "ladder":
     b = jnp.asarray(rng.integers(0, 2, (batch, 250)).astype(np.int32))
-    t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
+    if jax.devices()[0].platform == "tpu":
+        # oblivious ladder = stepped Pallas kernel at width 1 (the
+        # EdwardsPoint.__mul__ production path)
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        t = time_chain(lambda p: fk.scalar_mul_windowed_stepped(p, b, 1), pt, 2)
+    else:
+        t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
 elif metric == "fixed_base":
     cw = ed.COMB_WIDTH
     nwin = -(-250 // cw)

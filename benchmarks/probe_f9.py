@@ -121,7 +121,7 @@ def main():
         from zerocaf_tpu.ops.pallas import field_kernels as fk
         batch = int(os.environ.get("BENCH_BATCH", 16384))
         rng = np.random.default_rng(0)
-        cw = ed.COMB_WIDTH
+        cw = int(os.environ.get("COMB_WIDTH", ed.COMB_WIDTH))
         nwin = -(-250 // cw)
         w0 = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
 

@@ -410,8 +410,18 @@ class EdwardsPoint:
         return EdwardsPoint(*_double(self._tuple()))
 
     def __mul__(self, scalar: Scalar) -> "EdwardsPoint":
-        """Fixed-ladder scalar multiplication (constant 250 trips)."""
+        """Fixed-ladder scalar multiplication (constant 250 trips).
+
+        On TPU this is the stepped Pallas kernel at width 1: per bit, one
+        doubling plus a Niels addition of a one-hot-selected {identity, P}
+        entry -- same access-oblivious contract as the XLA select ladder
+        (docs/CONSTANT_TIME.md), ~1.6x faster."""
         bits = scalar.into_bits(250)
+        from ..config import DEFAULT as _cfg
+        if _cfg.use_pallas and jax.default_backend() == "tpu":
+            from ..ops.pallas import field_kernels as _fk
+            pt = _broadcast_point(self._tuple(), bits.shape[:-1])
+            return EdwardsPoint(*_fk.scalar_mul_windowed_stepped(pt, bits, 1))
         return EdwardsPoint(*_scalar_mul(self._tuple(), bits))
 
     def mul_windowed(self, scalar: Scalar, width: int = 4,

@@ -236,29 +236,8 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32,
 
     # [nwin, nbuckets, 22] bucket tables, all windows batched
     tables = jax.vmap(one_window, out_axes=0)(jnp.arange(nwin))
-
-    # descending running sum: W = sum_b b * S_b
-    def bucket_step(carry, b_rev):
-        acc, tot = carry
-        sb = tuple(t[:, b_rev] for t in tables)  # [nwin, 22]
-        acc = _ed._add(acc, sb)
-        tot = _ed._add(tot, acc)
-        return (acc, tot), None
-
-    ident_w = _ed._identity_like(tuple(t[:, 0] for t in tables))
-    (acc, tot), _ = jax.lax.scan(
-        bucket_step, (ident_w, ident_w), jnp.arange(nbuckets - 1, 0, -1))
-
-    # Horner over windows (MSB window first): T = 2^c * T + W_w
-    def horner_step(T, w_rev):
-        for i in range(c):
-            T = _ed._double(T, with_t=(i == c - 1))
-        Ww = tuple(t[w_rev] for t in tot)
-        return _ed._add(T, Ww), None
-
-    ident1 = _ed._identity_like(tuple(t[0] for t in tot))
-    T, _ = jax.lax.scan(horner_step, ident1, jnp.arange(nwin - 1, -1, -1))
-    return T
+    # log-depth bucket combine + Horner (see _combine_windows)
+    return _combine_windows(tables, c, nbuckets)
 
 
 def _bucket_table(pt, digits, nbuckets: int, sign=None):
@@ -309,22 +288,57 @@ def _window_buckets_signed(pt, mag, sign, nbuckets: int):
     return _bucket_table(pt, mag, nbuckets, sign=sign)
 
 
+def _ident_fill(like, rows):
+    """[nwin, rows, 22] identity-point coords matching `like`'s component
+    order (X, Y, Z, T) -- produced positionally by the caller."""
+    nwin = like[0].shape[0]
+    out = []
+    for i, l0 in enumerate((0, 1, 1, 0)):
+        z = jnp.zeros((nwin, rows, 22), jnp.int32)
+        if l0:
+            z = z.at[..., 0].set(1)
+        out.append(z)
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnames=("c", "nbuckets"))
 def _combine_windows(tables, c: int, nbuckets: int):
-    """Descending bucket running-sum (batched over windows) + Horner merge.
+    """Bucket combine + Horner merge, batched over windows.
+
+    The classic descending running sum (W = sum_b b*S_b via acc/tot) is a
+    2*(nbuckets-1)-step SEQUENTIAL scan -- latency-bound on TPU and
+    dominant for wide windows (measured: c=14 slower than c=8 at 2^16).
+    Rewritten log-depth: W = sum_{b>=1} A_b with A = suffix-inclusive-scan
+    of S over the bucket axis (Hillis-Steele, log2 rounds of full-width
+    batched adds) followed by a pairwise tree reduction.
+
     tables: tuple of [nwin, nbuckets, 22] arrays."""
     nwin = tables[0].shape[0]
+    m = nbuckets - 1
+    S = tuple(t[:, 1:] for t in tables)  # buckets 1..nb-1
 
-    def bucket_step(carry, b_rev):
-        acc, tot = carry
-        sb = tuple(t[:, b_rev] for t in tables)
-        acc = _ed._add(acc, sb)
-        tot = _ed._add(tot, acc)
-        return (acc, tot), None
+    # suffix inclusive scan: S[b] <- sum_{j >= b} S[j]
+    d = 1
+    while d < m:
+        fill = _ident_fill(S, min(d, m))
+        shifted = tuple(
+            jnp.concatenate([t[:, d:], f[:, :min(d, m)]], axis=1)
+            for t, f in zip(S, fill))
+        S = _padd(S, shifted)
+        d <<= 1
 
-    ident_w = _ed._identity_like(tuple(t[:, 0] for t in tables))
-    (_, tot), _ = jax.lax.scan(
-        bucket_step, (ident_w, ident_w), jnp.arange(nbuckets - 1, 0, -1))
+    # tot_w = sum_b A_b: pairwise tree reduction over the bucket axis
+    while m > 1:
+        half = m // 2
+        even = tuple(t[:, : 2 * half : 2] for t in S)
+        odd = tuple(t[:, 1 : 2 * half : 2] for t in S)
+        merged = _padd(even, odd)
+        if m % 2:
+            merged = tuple(jnp.concatenate([mc, t[:, -1:]], axis=1)
+                           for mc, t in zip(merged, S))
+        S = merged
+        m = S[0].shape[1]
+    tot = tuple(t[:, 0] for t in S)  # [nwin, 22]
 
     def horner_step(T, w_rev):
         for i in range(c):
