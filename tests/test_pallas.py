@@ -72,6 +72,21 @@ class TestFusedWindowedLadder:
         got = fk.scalar_mul_windowed_fused(pt, w, 4, interpret=True)
         assert (np.asarray(_compress(got)) == np.asarray(_compress(ref))).all()
 
+    def test_fixed_base_stepped_variants(self):
+        """Both comb gather strategies (per-step take vs hoisted prefetch)
+        are bit-exact vs the XLA comb (compressed encodings compared)."""
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.models.ristretto import _compress
+
+        cw = 8  # small width: fast oracle table on CPU
+        nwin = -(-250 // cw)
+        w = jnp.asarray(rng.integers(0, 1 << cw, (48, nwin)).astype(np.int32))
+        ref = _compress(ed._fixed_base_mul(w, cw))
+        for pf in (True, False):
+            got = _compress(fk.fixed_base_mul_stepped(
+                w, cw, interpret=True, prefetch=pf))
+            assert (np.asarray(got) == np.asarray(ref)).all(), pf
+
     def test_mul_windowed_use_fused_flag(self):
         """Public API: use_fused=True (interpret on CPU is implicit via
         jax.default_backend) must equal the plain path."""

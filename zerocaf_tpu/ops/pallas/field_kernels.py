@@ -358,13 +358,19 @@ def _madd_affine_kernel(q_ref, e_ref, out_ref, *, c_limbs):
         out_ref[lo + L:lo + 32] = zpad
 
 
-@functools.partial(jax.jit, static_argnames=("width", "interpret"))
-def fixed_base_mul_stepped(windows, width, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("width", "interpret", "prefetch"))
+def fixed_base_mul_stepped(windows, width, interpret: bool = False,
+                           prefetch: bool = True):
     """Fixed-base comb multiplication with the 7M mixed adds fused in
     Pallas.  The per-window gather from the (shared, 2^width-entry) comb
     table stays in XLA -- per-lane gathers from large shared tables are
     XLA's strength and Mosaic's weakness; only the field math moves into
-    the kernel.  Bit-compatible with models.edwards._fixed_base_mul."""
+    the kernel.  Bit-compatible with models.edwards._fixed_base_mul.
+
+    prefetch=True hoists ALL nwin gathers out of the scan into one batched
+    take (flat index w * 2^width + digit) and pre-transposes the entries to
+    the kernel's [96, n_pad] layout, so the scan body is just the Pallas
+    madd -- no per-step gather/transpose ops."""
     from ...models import edwards as _edm
 
     tbl = jnp.asarray(_edm._fixed_base_table(width))  # [nwin, 2^w, 3, 22]
@@ -393,16 +399,28 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False):
     iota = jax.lax.broadcasted_iota(jnp.int32, (128, n_pad), 0)
     q0 = ((iota == 32) | (iota == 64)).astype(jnp.int32)
 
-    def body(q, wd):
-        w_idx, d = wd
-        entry = jnp.take(tbl[w_idx], d, axis=0)      # [n_pad, 3, 22]
-        e = entry.transpose(1, 2, 0)                 # [3, 22, n_pad]
-        e = jnp.pad(e, [(0, 0), (0, 32 - L), (0, 0)]).reshape(96, n_pad)
-        return madd(q, e), None
-
-    ws = jnp.arange(nwin)
     ds = jnp.moveaxis(win, 0, -1)                    # [nwin, n_pad]
-    qf, _ = jax.lax.scan(body, q0, (ws, ds))
+    if prefetch:
+        flat = tbl.reshape(nwin << width, 3, L)
+        idx = (jnp.arange(nwin, dtype=jnp.int32)[:, None] << width) + ds
+        ent = jnp.take(flat, idx, axis=0)            # [nwin, n_pad, 3, 22]
+        ent = ent.transpose(0, 2, 3, 1)              # [nwin, 3, 22, n_pad]
+        ent = jnp.pad(ent, [(0, 0), (0, 0), (0, 32 - L), (0, 0)])
+        ent = ent.reshape(nwin, 96, n_pad)
+
+        def body(q, e):
+            return madd(q, e), None
+
+        qf, _ = jax.lax.scan(body, q0, ent)
+    else:
+        def body(q, wd):
+            w_idx, d = wd
+            entry = jnp.take(tbl[w_idx], d, axis=0)  # [n_pad, 3, 22]
+            e = entry.transpose(1, 2, 0)             # [3, 22, n_pad]
+            e = jnp.pad(e, [(0, 0), (0, 32 - L), (0, 0)]).reshape(96, n_pad)
+            return madd(q, e), None
+
+        qf, _ = jax.lax.scan(body, q0, (jnp.arange(nwin), ds))
 
     def unprep(lo):
         return qf[lo:lo + L].T[:n].reshape(*shape, L)
