@@ -161,34 +161,32 @@ class TestEdwards:
             assert_points_eq(got, [o.scalar_mul(o.BASEPOINT, kk) for kk in ks])
 
 
-RISTRETTO_VECS = [
-    "0000000000000000000000000000000000000000000000000000000000000000",
-    "0200000000000000000000000000000000000000000000000000000000000000",
-    "abe4ea98eaaeda5a9c63879cb3c4d9b4a01ed31ac383acefd7ed49861e1a8002",
-    "1064fe35b16525f90f1d2f7d3dc448ba31a118f136c53eed88c2e951f1832907",
-    "a826cf66461dea21e51187dddd8753299b726a7d4217cb75758aefbf5a2d4f01",
-    "4d2e0705a9b47d122f98bd74808d386cf1691bc5407af703dd0c4808038b7f07",
-    "f3a3592fde5fa05a881b80b4e732b37c32c7f684a5be33cdb8b7bdaf53db6f04",
-    "51626c7960da63010efc5e064e62962f158f59928914fc108257ec2653745e01",
-]
+# All 16 canonical small-multiple encodings (ristretto.rs:542-579), driven
+# through the DEVICE kernels in two batch-8 calls (reusing the batch-8
+# compiled graphs; VERDICT r2 item 6).
+from test_oracle import RISTRETTO_SMALL_MULTIPLES as RISTRETTO_VECS  # noqa: E402
 
 
 class TestRistretto:
-    def test_small_multiple_encodings(self):
-        ks = list(range(8))
-        k = Scalar.from_int(np.array(ks))
-        p = RistrettoPoint.basepoint((B,)) * k
-        got = np.asarray(p.compress())
-        for row, e in zip(got, RISTRETTO_VECS):
-            assert bytes(row).hex() == e
+    def test_small_multiple_encodings_all_16(self):
+        for lo in (0, 8):
+            ks = list(range(lo, lo + 8))
+            k = Scalar.from_int(np.array(ks))
+            p = RistrettoPoint.basepoint((B,)) * k
+            got = np.asarray(p.compress())
+            for i, (row, e) in enumerate(zip(got, RISTRETTO_VECS[lo:lo + 8])):
+                assert bytes(row).hex() == e, f"multiple {lo + i}"
 
     def test_decompress_roundtrip_and_rejects(self):
+        for lo in (0, 8):
+            enc = np.stack([np.frombuffer(bytes.fromhex(v), np.uint8)
+                            for v in RISTRETTO_VECS[lo:lo + 8]])
+            pt, ok = RistrettoPoint.decompress(jnp.asarray(enc))
+            assert np.asarray(ok).all()
+            assert np.asarray(pt.eq(RistrettoPoint.basepoint((B,)) *
+                                    Scalar.from_int(np.arange(lo, lo + 8)))).all()
         enc = np.stack([np.frombuffer(bytes.fromhex(v), np.uint8)
-                        for v in RISTRETTO_VECS])
-        pt, ok = RistrettoPoint.decompress(jnp.asarray(enc))
-        assert np.asarray(ok).all()
-        assert np.asarray(pt.eq(RistrettoPoint.basepoint((B,)) *
-                                Scalar.from_int(np.arange(8)))).all()
+                        for v in RISTRETTO_VECS[:8]])
         # non-canonical / negative encodings must be rejected
         bad = enc.copy()
         bad[0] = np.frombuffer(o.fe_to_bytes(o.P - 1), np.uint8)  # negative s

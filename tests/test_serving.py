@@ -71,3 +71,39 @@ def test_pad_batch():
     a = np.ones((3, 32), np.uint8)
     p, n = pad_batch(a, 8)
     assert p.shape == (8, 32) and n == 3 and (p[3:] == 0).all()
+
+
+def test_msm_pinned_batch_and_caching():
+    """Engine.msm enforces the pinned batch, caches its per-c stages (no
+    new pipelines on a second call), and pad_msm padding is sum-neutral."""
+    import pytest
+
+    from zerocaf_tpu.serving import pad_msm
+
+    eng = Engine(batch=8, donate=False)
+    seeds = rng.integers(0, 256, (5, 64), dtype=np.uint8)
+    seeds8 = np.concatenate([seeds, np.zeros((3, 64), np.uint8)])
+    _, pk8 = eng.keygen(jnp.asarray(seeds8))
+    pk = np.asarray(pk8)[:5]
+    sc = rng.integers(0, 256, (5, 32), dtype=np.uint8)
+    sc[:, 31] &= 0x03
+
+    with pytest.raises(ValueError):
+        eng.msm(jnp.asarray(pk), jnp.asarray(sc), c=4)  # ragged batch
+
+    pw, sw, n = pad_msm(pk, sc, 8)
+    assert n == 5
+    wire, ok = eng.msm(jnp.asarray(pw), jnp.asarray(sw), c=4)
+    assert bool(ok)
+    compiled_after_first = set(eng.compiled())
+    assert {"msm_decode_c4", "msm_encode_c4"} <= compiled_after_first
+    wire2, ok2 = eng.msm(jnp.asarray(pw.copy()), jnp.asarray(sw.copy()), c=4)
+    assert set(eng.compiled()) == compiled_after_first  # no new pipelines
+    assert (np.asarray(wire) == np.asarray(wire2)).all() and bool(ok2)
+
+    acc = o.IDENTITY
+    for i in range(5):
+        k_i = int.from_bytes(seeds[i].tobytes(), "little") % o.R
+        s_i = int.from_bytes(sc[i].tobytes(), "little") % o.R
+        acc = o.point_add(acc, o.scalar_mul(o.BASEPOINT, k_i * s_i % o.R))
+    assert np.asarray(wire).tobytes() == o.ristretto_compress(acc)

@@ -13,7 +13,7 @@ Public API (mirrors the reference's module layout, lib.rs:166-173):
 """
 
 from .field import FieldElement
-from .scalar import Scalar
+from .scalar import Ristretto255Scalar, Scalar
 from .models import (AffinePoint, CompressedEdwardsY, CompressedRistretto,
                      EdwardsPoint, MontgomeryPoint, ProjectivePoint,
                      RistrettoPoint, binary_naf_mul, double_and_add,
@@ -21,14 +21,15 @@ from .models import (AffinePoint, CompressedEdwardsY, CompressedRistretto,
                      window_naf_mul)
 from . import constants
 from . import oracle
+from . import traits
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "FieldElement", "Scalar",
+    "FieldElement", "Scalar", "Ristretto255Scalar",
     "AffinePoint", "CompressedEdwardsY", "CompressedRistretto", "EdwardsPoint",
     "MontgomeryPoint", "ProjectivePoint", "RistrettoPoint",
     "binary_naf_mul", "double_and_add", "ltr_bin_mul", "mul_by_cofactor",
     "mul_by_pow_2", "window_naf_mul",
-    "constants", "oracle",
+    "constants", "oracle", "traits",
 ]

@@ -59,6 +59,52 @@ class Config:
     debug_checks: bool = False
     # Use Pallas kernels for the hot paths where available (else pure jnp/XLA).
     use_pallas: bool = True
+    # Limb backend for FieldElement/Scalar arithmetic (ops/limb.BACKENDS).
+    backend: str = "i32x22"
 
 
 DEFAULT = Config()
+
+# --- Runtime backend selection (src/backend/mod.rs:9-16 analogue) ----------
+# The reference picks its limb backend with a cargo feature at compile time;
+# here the registry entry is chosen at runtime.  FieldElement/Scalar
+# constructors consult the active name; instances carry their ModSpec as
+# static pytree metadata, so mixed-backend programs are well-defined (each
+# value remembers its geometry) and jit caches per backend.
+#
+# NOTE: the batched POINT kernels (models/, ops/pallas/) instantiate the
+# i32x22 backend -- like the reference's constants tables instantiate u64
+# limbs -- because their Pallas layouts are specialized to the 22x12-bit
+# geometry; f32x29 is a field/scalar-level backend (measured 2.5x slower,
+# tests/test_field_f9.py).
+
+BACKEND_NAMES = ("i32x22", "f32x29")
+_ACTIVE_BACKEND = "i32x22"
+
+
+def set_backend(name: str) -> None:
+    """Select the limb backend used by new FieldElement/Scalar values."""
+    global _ACTIVE_BACKEND
+    if name not in BACKEND_NAMES:
+        raise ValueError(f"unknown backend {name!r}; registered: {BACKEND_NAMES}")
+    _ACTIVE_BACKEND = name
+
+
+def get_backend() -> str:
+    return _ACTIVE_BACKEND
+
+
+class use_backend:
+    """Context manager: `with config.use_backend("f32x29"): ...`."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.prev = get_backend()
+        set_backend(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        set_backend(self.prev)
+        return False

@@ -32,6 +32,10 @@ EDWARDS_D = oracle.EDWARDS_D
 SQRT_M1 = oracle.SQRT_M1
 C6 = oracle.C6                      # 6^((p-1)/4): Tonelli-raw sqrt(-1)
 INV_SQRT_A = oracle.INV_SQRT_A
+# -sqrt(a) (constants.rs:114-120).  With a = -1, sqrt(a) = i and
+# 1/sqrt(a) = 1/i = -i, so MINUS_SQRT_A and INV_SQRT_A are the same element
+# (the reference's two tables carry identical limbs).
+MINUS_SQRT_A = oracle.INV_SQRT_A
 INV_SQRT_A_MINUS_D = oracle.INV_SQRT_A_MINUS_D
 SQRT_AD_MINUS_ONE = oracle.SQRT_AD_MINUS_ONE
 ONE_MINUS_D_SQ = oracle.ONE_MINUS_D_SQ
@@ -98,6 +102,8 @@ EDWARDS_D_LIMBS = _limbs(EDWARDS_D)
 EDWARDS_2D_LIMBS = _limbs(2 * EDWARDS_D % P)   # Niels-form table scale
 EDWARDS_A_LIMBS = _limbs(EDWARDS_A)
 SQRT_M1_LIMBS = _limbs(SQRT_M1)
+INV_SQRT_A_LIMBS = _limbs(INV_SQRT_A)
+MINUS_SQRT_A_LIMBS = _limbs(MINUS_SQRT_A)
 C6_LIMBS = _limbs(C6)
 INV_SQRT_A_MINUS_D_LIMBS = _limbs(INV_SQRT_A_MINUS_D)
 SQRT_AD_MINUS_ONE_LIMBS = _limbs(SQRT_AD_MINUS_ONE)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from .. import traits as _traits
 from ..field import FieldElement
 from ..scalar import Scalar
 from ..ops import inv_sqrt as _isq
@@ -38,7 +39,7 @@ from ..ops import limb as _l
 from ..ops.limb import FIELD as _F
 
 # Limb-level point = tuple of 4 arrays (X, Y, Z, T), each [..., 22] int32.
-_D = jnp.asarray(C.EDWARDS_D_LIMBS)
+_D = C.EDWARDS_D_LIMBS  # host numpy: no backend init at import
 
 
 # ---------------------------------------------------------------------------
@@ -669,24 +670,39 @@ class CompressedEdwardsY:
         return f"CompressedEdwardsY(shape={self.bytes.shape[:-1]})"
 
 
-def double_and_add(point: EdwardsPoint, scalar: Scalar) -> EdwardsPoint:
+def double_and_add(point: _traits.Double, scalar: Scalar) -> EdwardsPoint:
     """Reference-named entry point (edwards.rs:102-120); on TPU both
-    double_and_add and ltr_bin_mul lower to the same fixed ladder."""
+    double_and_add and ltr_bin_mul lower to the same fixed ladder.
+
+    Generic over the op vocabulary: any Double+Mul implementer works (the
+    reference writes these against the traits, traits.rs:47-58)."""
+    if not isinstance(point, _traits.Double):
+        raise TypeError(f"{type(point).__name__} does not implement Double")
     return point * scalar
 
 
-def ltr_bin_mul(point: EdwardsPoint, scalar: Scalar) -> EdwardsPoint:
+def ltr_bin_mul(point: _traits.Double, scalar: Scalar) -> EdwardsPoint:
     """edwards.rs:122-134 (see oracle.ltr_bin_mul for the 249-bit quirk we
     deliberately do not replicate)."""
+    if not isinstance(point, _traits.Double):
+        raise TypeError(f"{type(point).__name__} does not implement Double")
     return point * scalar
 
 
-def mul_by_cofactor(point: EdwardsPoint) -> EdwardsPoint:
-    return point.mul_by_cofactor()
+def mul_by_cofactor(point: _traits.Double) -> EdwardsPoint:
+    """8*P (edwards.rs:174-179); needs only the Double trait."""
+    if not isinstance(point, _traits.Double):
+        raise TypeError(f"{type(point).__name__} does not implement Double")
+    return point.double().double().double()
 
 
-def mul_by_pow_2(point: EdwardsPoint, k: int) -> EdwardsPoint:
-    return point.mul_by_pow_2(k)
+def mul_by_pow_2(point: _traits.Double, k: int) -> EdwardsPoint:
+    """2^k * P (edwards.rs:186-191); needs only the Double trait."""
+    if not isinstance(point, _traits.Double):
+        raise TypeError(f"{type(point).__name__} does not implement Double")
+    for _ in range(k):
+        point = point.double()
+    return point
 
 
 @partial(jax.jit, static_argnames=("nbits",))

@@ -25,12 +25,13 @@ from ..ops import limb as _l
 from ..ops.limb import FIELD as _F
 from . import edwards as _ed
 
-_D = jnp.asarray(C.EDWARDS_D_LIMBS)
-_SQRT_M1 = jnp.asarray(C.SQRT_M1_LIMBS)
-_INV_SQRT_A_MINUS_D = jnp.asarray(C.INV_SQRT_A_MINUS_D_LIMBS)
-_SQRT_AD_MINUS_ONE = jnp.asarray(C.SQRT_AD_MINUS_ONE_LIMBS)
-_ONE_MINUS_D_SQ = jnp.asarray(C.ONE_MINUS_D_SQ_LIMBS)
-_D_MINUS_ONE_SQ = jnp.asarray(C.D_MINUS_ONE_SQ_LIMBS)
+# host numpy limbs: importing the package must not initialize the backend
+_D = C.EDWARDS_D_LIMBS
+_SQRT_M1 = C.SQRT_M1_LIMBS
+_INV_SQRT_A_MINUS_D = C.INV_SQRT_A_MINUS_D_LIMBS
+_SQRT_AD_MINUS_ONE = C.SQRT_AD_MINUS_ONE_LIMBS
+_ONE_MINUS_D_SQ = C.ONE_MINUS_D_SQ_LIMBS
+_D_MINUS_ONE_SQ = C.D_MINUS_ONE_SQ_LIMBS
 
 
 def _one_like(x):

@@ -40,9 +40,30 @@ def _as_scalar_bytes(scalars_le: np.ndarray) -> np.ndarray:
     return b.reshape(-1, 32)
 
 
+def _check_naf_domain(b: np.ndarray, nbits: int) -> None:
+    """NAF/wNAF recodings can spill one digit past the MSB, so inputs must
+    satisfy k < 2^(nbits-1) or the fixed-length digit array would silently
+    truncate (the C++ loop caps at nbits; the Python oracle raises).  Enforce
+    the same domain for both engines (VERDICT r2 item 7)."""
+    if nbits > 256:
+        # every 256-bit value fits nbits digits, but the C++ engine's u256
+        # add-back would wrap for k within one window of 2^256: reject the
+        # all-ones top byte (margin 2^8 > the largest half-window 2^(w-1))
+        if (b[:, 31] == 0xFF).any():
+            raise ValueError("naf/wnaf: input scalar within 2^248 of 2^256 "
+                             "overflows the 256-bit recoding engine")
+        return
+    bits8 = np.unpackbits(b, axis=-1, bitorder="little")
+    if bits8[:, nbits - 1:].any():
+        raise ValueError(
+            f"naf/wnaf: input scalar >= 2^{nbits - 1}; recoding needs more "
+            f"than nbits={nbits} digits")
+
+
 def naf(scalars_le: np.ndarray, nbits: int = 256) -> np.ndarray:
     """[..., 32] LE scalar bytes -> [..., nbits] int8 NAF digits."""
     b = _as_scalar_bytes(scalars_le)
+    _check_naf_domain(b, nbits)
     n = b.shape[0]
     lib = _load()
     if lib is not None:
@@ -60,6 +81,7 @@ def naf(scalars_le: np.ndarray, nbits: int = 256) -> np.ndarray:
 def wnaf(scalars_le: np.ndarray, width: int, nbits: int = 256) -> np.ndarray:
     """[..., 32] LE scalar bytes -> [..., nbits] int8 windowed-NAF digits."""
     b = _as_scalar_bytes(scalars_le)
+    _check_naf_domain(b, nbits)
     n = b.shape[0]
     lib = _load()
     if lib is not None:

@@ -472,6 +472,24 @@ def geq_const(x_canonical: jnp.ndarray, bound_limbs: np.ndarray) -> jnp.ndarray:
     return result | ~decided  # equal counts as >=
 
 
+@partial(jax.jit, static_argnums=2)
+def cmp(a: jnp.ndarray, b: jnp.ndarray, spec: ModSpec) -> jnp.ndarray:
+    """Batched three-way compare of canonical values: -1 / 0 / +1 int32
+    (Ord on FieldElement/Scalar, field.rs:65-76, scalar.rs:48-59 -- the
+    reference compares limb arrays most-significant-first; here both sides
+    are canonicalized first so semi-reduced inputs compare by value).
+    Branch-free lexicographic scan, data-parallel over all batch lanes."""
+    ca = canonical(a, spec)
+    cb = canonical(b, spec)
+    sign = jnp.sign(ca - cb)  # per-limb -1/0/1
+    # most-significant differing limb decides: fold MSB-first, keeping the
+    # first nonzero sign
+    out = jnp.zeros(ca.shape[:-1], dtype=jnp.int32)
+    for i in reversed(range(ca.shape[-1])):
+        out = jnp.where(out == 0, sign[..., i], out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Byte codecs (canonical little-endian 32 bytes; field.rs:563-631)
 # ---------------------------------------------------------------------------

@@ -299,7 +299,13 @@ def scalar_bits(k: int, n: int = 256) -> list[int]:
 
 
 def compute_naf(k: int, n: int = 256) -> list[int]:
-    """Non-adjacent form, LSB-first (scalar.rs:370-389)."""
+    """Non-adjacent form, LSB-first (scalar.rs:370-389).
+
+    NAF(k) needs up to bitlen(k)+1 digits (the recoding can carry one bit
+    past the MSB), so k must satisfy k < 2^(n-1); larger inputs raise
+    instead of silently truncating (VERDICT r2 item 7)."""
+    if not 0 <= k < (1 << (n - 1)):
+        raise ValueError(f"compute_naf: k needs {k.bit_length() + 1} digits > n={n}")
     res = [0] * n
     i = 0
     while k >= 1:
@@ -313,7 +319,10 @@ def compute_naf(k: int, n: int = 256) -> list[int]:
 
 
 def compute_window_naf(k: int, width: int, n: int = 256) -> list[int]:
-    """Windowed NAF, LSB-first (scalar.rs:391-415)."""
+    """Windowed NAF, LSB-first (scalar.rs:391-415).  As with compute_naf,
+    the recoding may spill one digit past the MSB: require k < 2^(n-1)."""
+    if not 0 <= k < (1 << (n - 1)):
+        raise ValueError(f"compute_window_naf: k needs {k.bit_length() + 1} digits > n={n}")
     res = [0] * n
     i = 0
     while k >= 1:

@@ -41,6 +41,16 @@ def pad_batch(arr: np.ndarray, batch: int):
     return np.concatenate([arr, pad], axis=0), n
 
 
+def pad_msm(points_wire: np.ndarray, scalar32: np.ndarray, batch: int):
+    """Pad an MSM request to the engine batch: identity wire (32 zero
+    bytes, the canonical Ristretto identity encoding) + zero scalars, which
+    contribute the identity to the aggregate.  Returns (points, scalars,
+    n_valid)."""
+    p, n = pad_batch(points_wire, batch)
+    s, _ = pad_batch(scalar32, batch)
+    return p, s, n
+
+
 class Engine:
     """Pinned-batch serving engine.
 
@@ -102,18 +112,54 @@ class Engine:
 
     def msm(self, points_wire: jnp.ndarray, scalar32: jnp.ndarray,
             c: int | None = None):
-        """[n, 32] Ristretto wire + [n, 32] scalar bytes -> ([32] wire, ok).
+        """[batch, 32] Ristretto wire + [batch, 32] scalar bytes ->
+        ([32] wire, ok).
 
         Decodes, checks validity, runs Pippenger, re-encodes.  Lanes with
         invalid point encodings make ok False for the whole aggregate (the
-        caller must reject the batch -- matching verifier semantics)."""
-        from .parallel.msm import msm as _msm_fn
+        caller must reject the batch -- matching verifier semantics).
 
-        pts, okp = _ri._decompress(points_wire)
-        s, _ = Scalar.from_bytes(scalar32)
-        total = _msm_fn(EdwardsPoint(*pts), s, c=c)
-        wire = _ri._compress(total._tuple())
-        return wire, jnp.all(okp)
+        Pinned-batch pipeline like keygen/dh: the batch axis must equal the
+        engine batch (pad ragged traffic with `pad_msm` -- identity wire +
+        zero scalars contribute nothing to the sum).  Three cached jit
+        stages per window width c: donated decode, the per-window Pippenger
+        kernels (module-level jits, cached by (batch, c) shapes), and the
+        combine+encode -- steady-state calls re-trace nothing."""
+        from .parallel.msm import (_combine_windows, _window_buckets_signed,
+                                   auto_c, signed_digits)
+
+        n = points_wire.shape[0]
+        if n != self.batch:
+            raise ValueError(
+                f"msm batch {n} != engine batch {self.batch}; pad with pad_msm")
+        if c is None:
+            c = auto_c(n)
+        nwin = -(-251 // c)  # signed-carry coverage (parallel/msm.msm)
+        nbuckets = (1 << (c - 1)) + 1
+
+        def build_decode():
+            def f(wire, sk):
+                pts, okp = _ri._decompress(wire)
+                s, _ = Scalar.from_bytes(sk)
+                windows = s.windows(c, nwin)
+                mag, sgn = signed_digits(windows, c)
+                return pts, mag, sgn, jnp.all(okp)
+            return (jax.jit(f, donate_argnums=(0, 1))
+                    if self._jit is not jax.jit else jax.jit(f))
+
+        def build_encode():
+            def f(tables):
+                total = _combine_windows(tables, c, nbuckets)
+                return _ri._compress(total)
+            return jax.jit(f)
+
+        pts, mag, sgn, ok = self._fn(f"msm_decode_c{c}", build_decode)(
+            points_wire, scalar32)
+        per_w = [_window_buckets_signed(pts, mag[:, w], sgn[:, w], nbuckets)
+                 for w in range(nwin)]
+        tables = tuple(jnp.stack([pw[i] for pw in per_w]) for i in range(4))
+        wire = self._fn(f"msm_encode_c{c}", build_encode)(tables)
+        return wire, ok
 
     # -- introspection -------------------------------------------------------
 
