@@ -91,11 +91,14 @@ elif metric == "ladder":
         t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
 elif metric == "fixed_base":
     cw = ed.COMB_WIDTH
-    nwin = -(-250 // cw)
+    nwin = ed._fixed_base_table(cw).shape[0]
     w = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
+    # Measured fastest on v5e (benchmarks/diag_fixed_base.py): the Pallas
+    # stepped kernel with PER-STEP gather, 2.57M/s vs 2.35M XLA comb vs
+    # 575k for the r2 prefetch variant (the BENCH_r02 regression).
     if jax.devices()[0].platform == "tpu":
         from zerocaf_tpu.ops.pallas import field_kernels as fk
-        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw)
+        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw, prefetch=False)
     else:
         _comb = lambda w: ed._fixed_base_mul(w, cw)
     def step(w):

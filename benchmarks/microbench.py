@@ -115,6 +115,18 @@ def main():
     bits2 = jnp.asarray(rng.integers(0, 2, (B, 250)).astype(np.int32))
     bench("ecdh_full(4 ladders+2 encodes)", lambda a, b: ecdh(a, b)[0], bits, bits2)
 
+    # roofline accounting: static cost model vs measured rates
+    from zerocaf_tpu.utils import profiling as prof
+
+    print("--- roofline accounting (utils/profiling.KernelCost) ---")
+    print(prof.report())
+    fm = results.get("field_mul")
+    if fm and fm.get("ops_per_sec"):
+        # implied VPU int-op rate = model ops/mul * measured muls/s
+        gops = prof.FIELD_MUL.int_ops * fm["ops_per_sec"] / 1e9
+        print(f"implied VPU int-op rate from field_mul: {gops:.1f} Gops/s "
+              f"(model {prof.FIELD_MUL.int_ops} ops/mul)")
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"platform": platform, "batch": B, "results": results}, f,

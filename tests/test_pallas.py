@@ -79,7 +79,9 @@ class TestFusedWindowedLadder:
         from zerocaf_tpu.models.ristretto import _compress
 
         cw = 8  # small width: fast oracle table on CPU
-        nwin = -(-250 // cw)
+        # derive the window count from the real table geometry (ADVICE r2):
+        # if the comb convention changes, this tracks the source of truth
+        nwin = ed._fixed_base_table(cw).shape[0]
         w = jnp.asarray(rng.integers(0, 1 << cw, (48, nwin)).astype(np.int32))
         ref = _compress(ed._fixed_base_mul(w, cw))
         for pf in (True, False):

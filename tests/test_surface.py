@@ -3,6 +3,7 @@ public batched Ord/compare (field.rs:59-76, scalar.rs:48-59), the
 Scalar-side Ristretto255Scalar interop alias (scalar.rs:112-113), and the
 MINUS_SQRT_A named constant (constants.rs:114-120)."""
 
+import jax.numpy as jnp
 import numpy as np
 
 import zerocaf_tpu
@@ -106,6 +107,29 @@ class TestTraits:
         gx = o.limbs_to_int(np.asarray(FieldElement(got.X).canonical().limbs))
         gz = o.limbs_to_int(np.asarray(FieldElement(got.Z).canonical().limbs))
         assert gx * wz % o.P == wx * gz % o.P
+
+
+class TestProfilingAccounting:
+    """utils/profiling.KernelCost is load-bearing: microbench prints the
+    roofline report and derives the implied VPU rate from it."""
+
+    def test_report_and_model_consistency(self):
+        from zerocaf_tpu.utils import profiling as prof
+
+        txt = prof.report()
+        assert "field_mul" in txt and "scalar_mul_ladder" in txt
+        # the composite models must be built from the primitive ones
+        assert prof.POINT_ADD.int_ops == 10 * prof.FIELD_MUL.int_ops + \
+            7 * prof.FIELD_ADD.int_ops
+        assert prof.SCALAR_MUL.int_ops == 250 * (
+            prof.POINT_ADD.int_ops + prof.POINT_DOUBLE.int_ops)
+        assert prof.FIELD_MUL.arithmetic_intensity > 1  # compute-bound
+
+    def test_timeit_runs(self):
+        from zerocaf_tpu.utils.profiling import timeit
+
+        t = timeit(lambda x: x + 1, jnp.ones((8,)), iters=3, warmup=1)
+        assert t >= 0
 
 
 class TestNamedConstants:

@@ -374,8 +374,13 @@ class EdwardsPoint:
         """B*k via the fixed-base affine-Niels comb table: ceil(250/width)
         mixed 7M adds, no doublings (the high-throughput keygen path;
         generalizes window_naf_mul + BASEPOINT_ODD_MULTIPLES_TABLE,
-        edwards.rs:155-171).  On TPU the 7M adds run as a fused Pallas
-        kernel (table gather stays in XLA)."""
+        edwards.rs:155-171).
+
+        Production TPU path: the Pallas stepped kernel with per-step table
+        gather (prefetch=False), measured fastest on v5e at width 13 /
+        batch 16k: 2.57M mults/s vs 2.35M for the XLA comb and 575k for the
+        r2 prefetch variant (benchmarks/diag_fixed_base.py reconciles the
+        BENCH_r02 regression).  CPU and use_fused=False take the XLA comb."""
         nwin = -(-250 // width)
         windows = scalar.windows(width, nwin)
         if use_fused is None:

@@ -43,9 +43,17 @@ def _school_cols(a, b, na, nb):
 
 
 def _carry3(x, keep_top=True):
-    """Three data-parallel carry passes on [rows, N]; the top row stays
-    unsplit (sign carrier)."""
-    for _ in range(3):
+    """Two data-parallel carry passes on [rows, N]; the top row stays
+    unsplit (sign carrier).
+
+    Two passes suffice for every call site (|columns| < 2^30):
+      pass 1: rem < 2^12, carry <= 2^18  ->  limbs <= 2^12 + 2^18
+      pass 2: carry <= 2^18 >> 12 = 2^6  ->  limbs <= 2^12 + 2^6 < 2^12.1
+    which meets the semi envelope the laziness discipline assumes; a third
+    pass only tightened 2^6 to ~1 (measured ~8% of ladder-kernel time for
+    no bound improvement -- r3 optimization, bit-exact by the differential
+    tests)."""
+    for _ in range(2):
         rem = x & MASK
         car = x >> W
         rem = jnp.concatenate([rem[:-1], x[-1:]], axis=0)
@@ -290,6 +298,9 @@ def _padd_kernel(p_ref, q_ref, out_ref, *, d_limbs, c_limbs):
 
 
 PADD_LANES = 1024
+# fixed_base_mul_stepped prefetch cap: above this lane count the hoisted
+# [nwin, 96, n_pad] gather tensor (~nwin * 384 B per lane) dominates HBM.
+_PREFETCH_MAX_LANES = 1 << 17
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -360,7 +371,7 @@ def _madd_affine_kernel(q_ref, e_ref, out_ref, *, c_limbs):
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret", "prefetch"))
 def fixed_base_mul_stepped(windows, width, interpret: bool = False,
-                           prefetch: bool = True):
+                           prefetch: bool = False):
     """Fixed-base comb multiplication with the 7M mixed adds fused in
     Pallas.  The per-window gather from the (shared, 2^width-entry) comb
     table stays in XLA -- per-lane gathers from large shared tables are
@@ -370,7 +381,14 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
     prefetch=True hoists ALL nwin gathers out of the scan into one batched
     take (flat index w * 2^width + digit) and pre-transposes the entries to
     the kernel's [96, n_pad] layout, so the scan body is just the Pallas
-    madd -- no per-step gather/transpose ops."""
+    madd -- no per-step gather/transpose ops.
+
+    MEASURED (v5e, width 13, batch 16k -- benchmarks/diag_fixed_base.py):
+    prefetch=False sustains 2.57M mults/s (the fastest comb path, 9% over
+    the XLA comb's 2.35M/s); prefetch=True materializes an
+    [nwin, 96, n_pad] entry tensor (~86 MB/iteration) and collapsed to
+    575k/s in the r2 driver run (BENCH_r02) -- hence prefetch defaults to
+    OFF and is additionally capped at _PREFETCH_MAX_LANES lanes."""
     from ...models import edwards as _edm
 
     tbl = jnp.asarray(_edm._fixed_base_table(width))  # [nwin, 2^w, 3, 22]
@@ -400,6 +418,8 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
     q0 = ((iota == 32) | (iota == 64)).astype(jnp.int32)
 
     ds = jnp.moveaxis(win, 0, -1)                    # [nwin, n_pad]
+    if prefetch and n_pad > _PREFETCH_MAX_LANES:
+        prefetch = False  # gathered tensor would be ~nwin * 0.4 KB/lane
     if prefetch:
         flat = tbl.reshape(nwin << width, 3, L)
         idx = (jnp.arange(nwin, dtype=jnp.int32)[:, None] << width) + ds
