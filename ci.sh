@@ -23,7 +23,9 @@ $PYCPU -m pytest tests/test_field_f9.py -q
 $PYCPU -m pytest tests/test_scalar.py tests/test_points.py -q
 $PYCPU -m pytest tests/test_msm.py tests/test_sharding.py -q
 $PYCPU -m pytest tests/test_pallas.py tests/test_protocols.py -q
-$PYCPU -m pytest tests/test_serving.py -q
+$PYCPU -m pytest tests/test_serving.py tests/test_native.py -q
+$PYCPU -m pytest tests/test_surface.py tests/test_backend.py -q
+$PYCPU -m pytest tests/test_distributed.py -q  # real 2-process jax.distributed
 
 echo "== bench (smoke, CPU) =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu BENCH_FORCE_CPU=1 BENCH_BATCH=128 BENCH_MSM_N=512 BENCH_TIMEOUT=300 python bench.py
