@@ -101,3 +101,53 @@ class TestFusedWindowedLadder:
         # backend -- exercise only the dispatcher defaulting here
         b = B.mul_windowed(s)
         assert bool(jnp.all(a.eq(b)))
+
+
+class TestPallasPowChain:
+    def test_chain_exponents_match_oracle(self):
+        """The fused windowed power chain is bit-exact vs the oracle for
+        every production chain exponent (inverse / Legendre / Tonelli /
+        sqrt_ratio_i)."""
+        xs = rand_elems(96)
+        A = jnp.asarray(np.stack([o.int_to_limbs(v) for v in xs]).astype(np.int32))
+        for e in (o.P - 2, (o.P - 1) // 2, (o.P + 3) // 8, (o.P - 5) // 8):
+            got = fk.pow_tiled(A, e, l.FIELD, interpret=True)
+            ga = np.asarray(l.canonical(got, l.FIELD))
+            assert all(o.limbs_to_int(row) == pow(x, e, o.P)
+                       for row, x in zip(ga, xs)), hex(e)[:18]
+
+    def test_small_and_zero_digit_windows(self):
+        """Exponents that exercise single-window seeding and zero digits
+        (digit 0 multiplies by the table's identity entry)."""
+        xs = rand_elems(40)
+        A = jnp.asarray(np.stack([o.int_to_limbs(v) for v in xs]).astype(np.int32))
+        for e in (1, 2, 15, 16, 17, (1 << 32) + 1, (1 << 64) + (1 << 8),
+                  0x10001000100010001):
+            if e.bit_length() < 2:
+                continue
+            got = fk.pow_tiled(A, e, l.FIELD, interpret=True)
+            ga = np.asarray(l.canonical(got, l.FIELD))
+            assert all(o.limbs_to_int(row) == pow(x, e, o.P)
+                       for row, x in zip(ga, xs)), e
+
+    def test_scalar_spec(self):
+        """Same kernel under the scalar modulus r."""
+        xs = [v % o.R for v in rand_elems(32)]
+        A = jnp.asarray(np.stack([o.int_to_limbs(v) for v in xs]).astype(np.int32))
+        e = o.R - 2
+        got = fk.pow_tiled(A, e, l.SCALAR, interpret=True)
+        ga = np.asarray(l.canonical(got, l.SCALAR))
+        assert all(o.limbs_to_int(row) == pow(x, e, o.R)
+                   for row, x in zip(ga, xs))
+
+    def test_semi_reduced_inputs(self):
+        """Semi-reduced (lazy) inputs agree with the XLA pow_const path."""
+        xs, ys = rand_elems(64), rand_elems(64)
+        A = jnp.asarray(np.stack([o.int_to_limbs(v) for v in xs]).astype(np.int32))
+        B = jnp.asarray(np.stack([o.int_to_limbs(v) for v in ys]).astype(np.int32))
+        A2 = l.sub(l.mul(A, B, l.FIELD), A)  # possibly-negative semi form
+        e = (o.P + 3) // 8
+        got = fk.pow_tiled(A2, e, l.FIELD, interpret=True)
+        ref = l.pow_const(A2, e, l.FIELD)
+        assert (np.asarray(l.canonical(got, l.FIELD))
+                == np.asarray(l.canonical(ref, l.FIELD))).all()

@@ -602,6 +602,17 @@ def pow_const(a: jnp.ndarray, e: int, spec: ModSpec) -> jnp.ndarray:
     assert e >= 0
     if e == 0:
         return jnp.broadcast_to(from_int(1, spec), a.shape).astype(a.dtype)
+    # TPU: the fused Pallas windowed chain (table + 4-squarings-per-step
+    # kernels) -- ~2.4x the XLA mul rate, and it converts the binary
+    # square-AND-multiply into ~250 squares + ~63 table multiplies.  The
+    # i32x22 specs only (the Pallas kernels are 22-limb int32).
+    if (e.bit_length() >= 32 and spec.nlimbs == L
+            and spec.np_dtype is np.int32
+            and jax.default_backend() == "tpu"):
+        from ..config import DEFAULT as _cfg
+        if _cfg.use_pallas:
+            from .pallas import field_kernels as _fk
+            return _fk.pow_tiled(a, e, spec)
     bits = np.array([int(b) for b in bin(e)[2:]], dtype=np.int32)  # MSB-first
 
     def body(res, bit):

@@ -30,16 +30,40 @@ LANES = 2048  # lanes per grid block; large blocks amortize per-program overhead
 SUBLANE_PAD = 24  # pad 22 limbs to a multiple of 8 for clean (8, 128) tiles
 
 
+def _accum_offset(terms, ncols):
+    """Sum [rows_i, N] terms placed at sublane offsets off_i into [ncols, N].
+
+    terms: list of (offset, array).  Pairwise tree merge that pads each pair
+    only to the UNION of their spans: early merges run on ~rows_i-high tiles
+    instead of full ncols-high ones, cutting the add work roughly in half vs
+    the sequential pad-to-full-and-add form (measured on the windowed-ladder
+    kernel).  Bit-exact: int32 partial sums are sub-sums of the full column
+    sums, so every intermediate obeys the same |col| < 2^31 envelope."""
+    def padto(t, off, lo, hi):
+        return jnp.pad(t, [(off - lo, hi - off - t.shape[0])]
+                       + [(0, 0)] * (t.ndim - 1))
+
+    terms = [(off, t) for off, t in terms if t is not None]
+    while len(terms) > 1:
+        nxt = []
+        for j in range(0, len(terms) - 1, 2):
+            (o1, t1), (o2, t2) = terms[j], terms[j + 1]
+            lo = min(o1, o2)
+            hi = max(o1 + t1.shape[0], o2 + t2.shape[0])
+            nxt.append((lo, padto(t1, o1, lo, hi) + padto(t2, o2, lo, hi)))
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    off, t = terms[0]
+    return padto(t, off, 0, ncols)
+
+
 def _school_cols(a, b, na, nb):
     """Full product columns on [rows, N] blocks: out[k] = sum a_i*b_{k-i}.
-    Pad-and-sum form (Mosaic has no scatter-add)."""
+    Offset-term tree sum (Mosaic has no scatter-add)."""
     ncols = na + nb - 1
-    out = None
-    for i in range(na):
-        term = a[i : i + 1] * b[:nb]
-        term = jnp.pad(term, [(i, ncols - nb - i)] + [(0, 0)] * (term.ndim - 1))
-        out = term if out is None else out + term
-    return out
+    return _accum_offset([(i, a[i : i + 1] * b[:nb]) for i in range(na)],
+                         ncols)
 
 
 def _carry3(x, keep_top=True):
@@ -70,11 +94,7 @@ def _fold_once(x, c_limbs):
     hi = x[21:]
     nh = hi.shape[0]
     nd = len(c_limbs) + nh - 1
-    d = None
-    for i, ci in enumerate(c_limbs):
-        if ci:
-            term = jnp.pad(ci * hi, [(i, nd - nh - i)] + [(0, 0)] * (hi.ndim - 1))
-            d = term if d is None else d + term
+    d = _accum_offset([(i, ci * hi) for i, ci in enumerate(c_limbs) if ci], nd)
     ncols = max(21, d.shape[0])
     lo = jnp.pad(lo, [(0, ncols - lo.shape[0])] + [(0, 0)] * (lo.ndim - 1))
     d = jnp.pad(d, [(0, ncols - d.shape[0])] + [(0, 0)] * (d.ndim - 1))
@@ -131,11 +151,8 @@ def _sq_cols(a):
     na = a.shape[0]
     ncols = 2 * na - 1
     a2 = a * 2
-    out = None
-    for i in range(na):
-        row = a[i : i + 1] * a2[i:]
-        row = jnp.pad(row, [(2 * i, na - 1 - i)] + [(0, 0)] * (row.ndim - 1))
-        out = row if out is None else out + row
+    out = _accum_offset([(2 * i, a[i : i + 1] * a2[i:]) for i in range(na)],
+                        ncols)
     diag = a * a
     z = jnp.zeros_like(diag)
     inter = jnp.stack([diag, z], axis=1).reshape(2 * na, *a.shape[1:])[:ncols]
@@ -166,11 +183,7 @@ def _mul_const(a, k_limbs, c_limbs):
     limbs), like _fold_once's baked scalar multiplies."""
     nk = len(k_limbs)
     nd = L + nk - 1
-    d = None
-    for i, ki in enumerate(k_limbs):
-        if ki:
-            term = jnp.pad(ki * a, [(i, nd - L - i)] + [(0, 0)] * (a.ndim - 1))
-            d = term if d is None else d + term
+    d = _accum_offset([(i, ki * a) for i, ki in enumerate(k_limbs) if ki], nd)
     return _reduce_block(d, c_limbs)
 
 
@@ -637,6 +650,125 @@ def scalar_mul_windowed_fused(pt, windows, width: int = 4,
         return out[lo:lo + L].T[:n].reshape(*shape, L)
 
     return tuple(unprep(lo) for lo in (0, 32, 64, 96))
+
+
+# --- fixed-exponent power chains ------------------------------------------
+# a^e for a STATIC python-int exponent, windowed square-and-multiply with
+# the whole field math fused in Pallas.  This is the engine under the
+# Fermat inverse / Legendre / Tonelli / sqrt_ratio_i chains
+# (ops/inv_sqrt.py) -- each is a ~253-bit exponentiation, i.e. ~250 squares
+# + ~63 table multiplies, and those chains dominate the Ristretto
+# encode/decode roundtrip.  Two small kernels (power table; one window
+# step) mirror scalar_mul_windowed_stepped's compiler-friendly shape.
+# Semantics match ops/limb.pow_const (differential tests in
+# tests/test_pallas.py).  Reference chains: field.rs:854-925 (inverse),
+# field.rs:462-503 (sqrt_ratio_i) -- both replaced by fixed-trip
+# exponentiations per docs/DESIGN.md.
+
+
+POW_LANES = 1024
+POW_WIDTH = 4
+
+
+def _pow_table_kernel(a_ref, tbl_ref, *, c_limbs, nb):
+    """tbl rows [k*32 : k*32+22] = a^k, k in [0, nb)."""
+    a = a_ref[0:L]
+    zpad = jnp.zeros((32 - L,) + a.shape[1:], jnp.int32)
+    one = (jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) == 0).astype(jnp.int32)
+    tbl_ref[0:L] = one
+    tbl_ref[L:32] = zpad
+    cur = a
+    for k in range(1, nb):
+        if k > 1:
+            cur = _mulb(cur, a, c_limbs)
+        tbl_ref[k * 32:k * 32 + L] = cur
+        tbl_ref[k * 32 + L:k * 32 + 32] = zpad
+
+
+def _pow_step_kernel(r_ref, tbl_ref, dig_ref, out_ref, *, c_limbs, width, nb):
+    """One window step: width squarings, then multiply by the one-hot
+    selected table entry (digit 0 multiplies by 1 -- uniform work, and the
+    access pattern is exponent-independent like the point ladder's)."""
+    r = r_ref[0:L]
+    for _ in range(width):
+        r = _sqb(r, c_limbs)
+    d8 = dig_ref[0:8, :]
+    d22 = jnp.concatenate([d8, d8, d8[: L - 16]], axis=0)
+    e = tbl_ref[0:L]
+    for k in range(1, nb):
+        m = d22 == k
+        e = jnp.where(m, tbl_ref[k * 32:k * 32 + L], e)
+    r = _mulb(r, e, c_limbs)
+    out_ref[0:L] = r
+    out_ref[L:32] = jnp.zeros((32 - L,) + r.shape[1:], jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("e", "spec", "interpret"))
+def pow_tiled(a, e: int, spec: ModSpec = FIELD, interpret: bool = False):
+    """a^e (mod spec.m) for a static exponent, fused in Pallas.
+
+    a: [..., 22] int32 semi-reduced; returns semi-reduced [..., 22].
+    Windowed (width 4) square-and-multiply: table of a^0..a^15 built in
+    VMEM, then ceil(bits/4)-1 scanned steps of 4 squarings + one-hot
+    multiply; the first window seeds the accumulator directly from the
+    table (a static slice -- the exponent is compile-time)."""
+    assert e > 0
+    width = POW_WIDTH
+    nb = 1 << width
+    bits = e.bit_length()
+    nwin = -(-bits // width)
+    digits = [(e >> (width * (nwin - 1 - i))) & (nb - 1) for i in range(nwin)]
+
+    shape = a.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    B = POW_LANES
+    n_pad = -(-n // B) * B
+    a2 = a.reshape(n, L)
+    a2 = jnp.pad(a2, [(0, n_pad - n), (0, 0)])
+    at = jnp.pad(a2.T, [(0, 32 - L), (0, 0)])            # [32, n_pad]
+
+    cl = tuple(int(v) for v in spec.fold_c_limbs)
+    grid = (n_pad // B,)
+    tbl = pl.pallas_call(
+        functools.partial(_pow_table_kernel, c_limbs=cl, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((nb * 32, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb * 32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(at)
+
+    # seed from the first (static) window digit; remaining windows scan
+    r0 = tbl[digits[0] * 32:digits[0] * 32 + 32]
+    rest = digits[1:]
+    if not rest:
+        return r0[:L].T[:n].reshape(*shape, L)
+
+    step_call = pl.pallas_call(
+        functools.partial(_pow_step_kernel, c_limbs=cl, width=width, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((32, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((32, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * 32, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    dig = jnp.asarray(np.asarray(rest, np.int32))        # [nwin-1], static values
+    dig8 = jnp.broadcast_to(dig[:, None, None], (len(rest), 8, n_pad))
+
+    def body(r, d_row):
+        return step_call(r, tbl, d_row), None
+
+    rf, _ = jax.lax.scan(body, r0, dig8)
+    return rf[:L].T[:n].reshape(*shape, L)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
