@@ -115,7 +115,14 @@ elif metric == "field_mul":
     n = 1 << 16
     A = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
     B = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
-    t = time_chain(lambda a: l.mul(a, B, l.FIELD), A, 64)
+    if jax.devices()[0].platform == "tpu":
+        # the Pallas bulk-mul kernel (production path for large batches;
+        # public API ops/pallas/field_kernels.mul_tiled, differential-
+        # tested) -- measured 1.77 ns vs 4.34 ns for the XLA mul (probe_f9)
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        t = time_chain(lambda a: fk.mul_tiled(a, B, l.FIELD), A, 64)
+    else:
+        t = time_chain(lambda a: l.mul(a, B, l.FIELD), A, 64)
     batch = n
 elif metric == "ristretto_encode":
     def step(p):

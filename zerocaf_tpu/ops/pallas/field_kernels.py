@@ -30,40 +30,22 @@ LANES = 2048  # lanes per grid block; large blocks amortize per-program overhead
 SUBLANE_PAD = 24  # pad 22 limbs to a multiple of 8 for clean (8, 128) tiles
 
 
-def _accum_offset(terms, ncols):
-    """Sum [rows_i, N] terms placed at sublane offsets off_i into [ncols, N].
-
-    terms: list of (offset, array).  Pairwise tree merge that pads each pair
-    only to the UNION of their spans: early merges run on ~rows_i-high tiles
-    instead of full ncols-high ones, cutting the add work roughly in half vs
-    the sequential pad-to-full-and-add form (measured on the windowed-ladder
-    kernel).  Bit-exact: int32 partial sums are sub-sums of the full column
-    sums, so every intermediate obeys the same |col| < 2^31 envelope."""
-    def padto(t, off, lo, hi):
-        return jnp.pad(t, [(off - lo, hi - off - t.shape[0])]
-                       + [(0, 0)] * (t.ndim - 1))
-
-    terms = [(off, t) for off, t in terms if t is not None]
-    while len(terms) > 1:
-        nxt = []
-        for j in range(0, len(terms) - 1, 2):
-            (o1, t1), (o2, t2) = terms[j], terms[j + 1]
-            lo = min(o1, o2)
-            hi = max(o1 + t1.shape[0], o2 + t2.shape[0])
-            nxt.append((lo, padto(t1, o1, lo, hi) + padto(t2, o2, lo, hi)))
-        if len(terms) % 2:
-            nxt.append(terms[-1])
-        terms = nxt
-    off, t = terms[0]
-    return padto(t, off, 0, ncols)
-
-
 def _school_cols(a, b, na, nb):
     """Full product columns on [rows, N] blocks: out[k] = sum a_i*b_{k-i}.
-    Offset-term tree sum (Mosaic has no scatter-add)."""
+    Pad-and-sum form (Mosaic has no scatter-add).
+
+    Sequential pad-to-full-and-accumulate is the MEASURED-fastest form: a
+    pairwise tree merge padding each pair only to the union of spans (fewer
+    add rows on paper) ran 6% SLOWER end-to-end on v5e (318.5k/313.9k vs
+    336.9k windowed mults/s) -- Mosaic's sublane-offset pads cost more than
+    the full-height adds they save.  Keep this form."""
     ncols = na + nb - 1
-    return _accum_offset([(i, a[i : i + 1] * b[:nb]) for i in range(na)],
-                         ncols)
+    out = None
+    for i in range(na):
+        term = a[i : i + 1] * b[:nb]
+        term = jnp.pad(term, [(i, ncols - nb - i)] + [(0, 0)] * (term.ndim - 1))
+        out = term if out is None else out + term
+    return out
 
 
 def _carry3(x, keep_top=True):
@@ -94,7 +76,11 @@ def _fold_once(x, c_limbs):
     hi = x[21:]
     nh = hi.shape[0]
     nd = len(c_limbs) + nh - 1
-    d = _accum_offset([(i, ci * hi) for i, ci in enumerate(c_limbs) if ci], nd)
+    d = None
+    for i, ci in enumerate(c_limbs):
+        if ci:
+            term = jnp.pad(ci * hi, [(i, nd - nh - i)] + [(0, 0)] * (hi.ndim - 1))
+            d = term if d is None else d + term
     ncols = max(21, d.shape[0])
     lo = jnp.pad(lo, [(0, ncols - lo.shape[0])] + [(0, 0)] * (lo.ndim - 1))
     d = jnp.pad(d, [(0, ncols - d.shape[0])] + [(0, 0)] * (d.ndim - 1))
@@ -151,8 +137,11 @@ def _sq_cols(a):
     na = a.shape[0]
     ncols = 2 * na - 1
     a2 = a * 2
-    out = _accum_offset([(2 * i, a[i : i + 1] * a2[i:]) for i in range(na)],
-                        ncols)
+    out = None
+    for i in range(na):
+        row = a[i : i + 1] * a2[i:]
+        row = jnp.pad(row, [(2 * i, na - 1 - i)] + [(0, 0)] * (row.ndim - 1))
+        out = row if out is None else out + row
     diag = a * a
     z = jnp.zeros_like(diag)
     inter = jnp.stack([diag, z], axis=1).reshape(2 * na, *a.shape[1:])[:ncols]
@@ -183,7 +172,11 @@ def _mul_const(a, k_limbs, c_limbs):
     limbs), like _fold_once's baked scalar multiplies."""
     nk = len(k_limbs)
     nd = L + nk - 1
-    d = _accum_offset([(i, ki * a) for i, ki in enumerate(k_limbs) if ki], nd)
+    d = None
+    for i, ki in enumerate(k_limbs):
+        if ki:
+            term = jnp.pad(ki * a, [(i, nd - L - i)] + [(0, 0)] * (a.ndim - 1))
+            d = term if d is None else d + term
     return _reduce_block(d, c_limbs)
 
 
