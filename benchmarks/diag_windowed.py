@@ -48,7 +48,9 @@ def time_chain(step, init, iters, reps=3):
 
 
 def main():
-    width = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    signed = "--signed" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    width = int(argv[0]) if argv else 4
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
     rng = np.random.default_rng(0)
     base = jnp.asarray(np.broadcast_to(C.BASEPOINT.astype(np.int32),
@@ -59,14 +61,15 @@ def main():
 
     if jax.devices()[0].platform == "tpu":
         from zerocaf_tpu.ops.pallas import field_kernels as fk
-        t = time_chain(lambda p: fk.scalar_mul_windowed_stepped(p, w, width),
-                       pt, 2)
+        kern = (fk.scalar_mul_windowed_signed if signed
+                else fk.scalar_mul_windowed_stepped)
+        t = time_chain(lambda p: kern(p, w, width), pt, 2)
     else:
         from zerocaf_tpu.models import edwards as ed
         t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, width), pt, 1)
 
     print(json.dumps({
-        "metric": "windowed", "width": width,
+        "metric": "windowed_signed" if signed else "windowed", "width": width,
         "platform": jax.devices()[0].platform, "batch": batch,
         "sec_per_call": t, "mults_per_sec": round(batch / t, 1),
     }))

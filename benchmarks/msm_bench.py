@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2n", type=int, default=16)
-    ap.add_argument("--c", type=int, default=8)
+    ap.add_argument("--c", type=int, default=0,
+                    help="window width; 0 = auto (parallel/msm.auto_c)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--verify-oracle", type=int, default=0,
@@ -41,6 +42,9 @@ def main():
     from zerocaf_tpu.parallel import msm
 
     n = 1 << args.log2n
+    if args.c == 0:
+        from zerocaf_tpu.parallel.msm import auto_c
+        args.c = auto_c(n)
     key = jax.random.PRNGKey(42)
     k1, k2 = jax.random.split(key)
     print(json.dumps({"devices": [str(d) for d in jax.devices()], "n": n}),

@@ -151,3 +151,32 @@ class TestPallasPowChain:
         ref = l.pow_const(A2, e, l.FIELD)
         assert (np.asarray(l.canonical(got, l.FIELD))
                 == np.asarray(l.canonical(ref, l.FIELD))).all()
+
+
+class TestSignedWindowedLadder:
+    def test_signed_matches_unsigned(self):
+        """Signed-digit stepped ladder == XLA windowed path for canonical
+        scalars (compressed encodings compared)."""
+        from zerocaf_tpu import Scalar
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.models.ristretto import _compress
+        from zerocaf_tpu import constants as C
+
+        n = 64
+        ks = [int.from_bytes(rng.bytes(32), "little") % o.R for k in range(n)]
+        s = Scalar.from_int(ks)
+        w = s.windows(4, 63)
+        base = np.broadcast_to(C.BASEPOINT.astype(np.int32), (n, 4, 22)).copy()
+        pt = tuple(jnp.asarray(base[:, i]) for i in range(4))
+        ref = ed._scalar_mul_windowed(pt, w, 4)
+        got = fk.scalar_mul_windowed_signed(pt, w, 4, interpret=True)
+        assert (np.asarray(_compress(got)) == np.asarray(_compress(ref))).all()
+
+    def test_signed_recode_roundtrip(self):
+        """Recoded digits reconstruct the scalar: sum d_i * 16^i == k."""
+        ks = [int.from_bytes(rng.bytes(32), "little") % o.R for _ in range(32)]
+        from zerocaf_tpu import Scalar
+        w = Scalar.from_int(ks).windows(4, 63)
+        d = np.asarray(fk._signed_recode(w, 4)).astype(np.int64)
+        for row, k in zip(d, ks):
+            assert sum(int(v) << (4 * i) for i, v in enumerate(row)) == k

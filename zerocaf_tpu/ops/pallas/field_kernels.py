@@ -585,6 +585,129 @@ def scalar_mul_windowed_stepped(pt, windows, width: int = 4,
     return tuple(unprep(lo) for lo in (0, 32, 64, 96))
 
 
+def _step_kernel_signed(q_ref, tbl_ref, dig_ref, out_ref, *, c_limbs, width,
+                        nb):
+    """One signed-window step: digits in [-2^(w-1), 2^(w-1)); the table
+    holds entries 1..2^(w-1) only (half of the unsigned variant's), and
+    negation is free in Niels form: swap (Y+X, Y-X) and negate 2dT."""
+    Q = tuple(q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    for j in range(width):
+        Q = _pdbl_block(Q, c_limbs, with_t=(j == width - 1))
+    d8 = dig_ref[0:8, :]
+    d22 = jnp.concatenate([d8, d8, d8[: L - 16]], axis=0)
+    a22 = jnp.where(d22 < 0, -d22, d22)
+    s22 = d22 < 0
+    e = tuple(tbl_ref[j * 32:j * 32 + L] for j in range(4))
+    for k in range(1, nb):
+        m = a22 == k
+        e = tuple(jnp.where(m, tbl_ref[(k * 4 + j) * 32:(k * 4 + j) * 32 + L],
+                            ec) for j, ec in enumerate(e))
+    ep = jnp.where(s22, e[1], e[0])
+    em = jnp.where(s22, e[0], e[1])
+    et = jnp.where(s22, -e[3], e[3])
+    Q = _madd_block(Q, (ep, em, e[2], et), c_limbs)
+    zpad = jnp.zeros((32 - L,) + Q[0].shape[1:], jnp.int32)
+    for j, lo in enumerate((0, 32, 64, 96)):
+        out_ref[lo:lo + L] = Q[j]
+        out_ref[lo + L:lo + 32] = zpad
+
+
+def _signed_recode(win, width):
+    """Unsigned width-w windows (LSB-first) -> signed digits in
+    [-2^(w-1), 2^(w-1)).  The final carry out is zero for canonical
+    scalars (< r < 2^250 with 63 width-4 windows: the top window is <= 3);
+    for adversarial window vectors it is dropped -- callers outside the
+    canonical-scalar contract (bench chaining) are throughput-only."""
+    h = 1 << (width - 1)
+    full = 1 << width
+
+    def body(carry, d):
+        d = d + carry
+        neg = d >= h
+        out = jnp.where(neg, d - full, d)
+        return neg.astype(d.dtype), out
+
+    win_f = jnp.moveaxis(win, -1, 0)
+    _, out = jax.lax.scan(body, jnp.zeros(win.shape[:-1], win.dtype), win_f)
+    return jnp.moveaxis(out, 0, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def scalar_mul_windowed_signed(pt, windows, width: int = 4,
+                               interpret: bool = False):
+    """Signed-digit windowed variable-base multiplication: the stepped
+    Pallas ladder with a half-size table (2^(w-1) entries vs 2^w-1) --
+    the signed-digit trick of the Pippenger path (parallel/msm.py) applied
+    to the dense ladder.  Bit-compatible with scalar_mul_windowed_stepped
+    for canonical scalars (tests/test_pallas.py)."""
+    from ... import constants as C
+
+    X = pt[0]
+    shape = X.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    nwin = windows.shape[-1]
+    nb = (1 << (width - 1)) + 1      # identity + entries 1..2^(w-1)
+    B = WIN_LANES
+    n_pad = -(-n // B) * B
+
+    def prep(c):
+        c2 = jnp.broadcast_to(c, shape + (L,)).reshape(n, L)
+        c2 = jnp.pad(c2, [(0, n_pad - n), (0, 0)])
+        return jnp.pad(c2.T, [(0, 32 - L), (0, 0)])
+
+    pt_stack = jnp.concatenate([prep(c) for c in pt], axis=0)
+    d2 = tuple(int(v) for v in np.asarray(C.EDWARDS_2D_LIMBS))
+    dl = tuple(int(v) for v in np.asarray(C.EDWARDS_D_LIMBS))
+    cl = tuple(int(v) for v in FIELD.fold_c_limbs)
+    grid = (n_pad // B,)
+
+    tbl = pl.pallas_call(
+        functools.partial(_table_kernel, d2_limbs=d2, c_limbs=cl,
+                          d_limbs=dl, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((nb * 4 * 32, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((128, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb * 4 * 32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pt_stack)
+
+    step_call = pl.pallas_call(
+        functools.partial(_step_kernel_signed, c_limbs=cl, width=width,
+                          nb=nb),
+        out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((128, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * 4 * 32, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, n_pad), 0)
+    q0 = ((iota == 32) | (iota == 64)).astype(jnp.int32)
+
+    signed = _signed_recode(windows.reshape(n, nwin), width)
+    dig = signed[:, ::-1].T                   # [nwin, n] MSB-first
+    dig = jnp.pad(dig, [(0, 0), (0, n_pad - n)])
+    dig8 = jnp.broadcast_to(dig[:, None, :], (nwin, 8, n_pad))
+
+    def body(q, d_row):
+        return step_call(q, tbl, d_row), None
+
+    qf, _ = jax.lax.scan(body, q0, dig8)
+
+    def unprep(lo):
+        return qf[lo:lo + L].T[:n].reshape(*shape, L)
+
+    return tuple(unprep(lo) for lo in (0, 32, 64, 96))
+
+
 WIN_LANES = 256  # lane block for the fused ladder (VMEM: tables + temps)
 
 
