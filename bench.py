@@ -74,10 +74,11 @@ pt = tuple(base[:, i] for i in range(4))
 if metric == "windowed":
     w = jnp.asarray(rng.integers(0, 16, (batch, 63)).astype(np.int32))
     if jax.devices()[0].platform == "tpu":
-        # fused Pallas ladder (the production TPU path; bit-exact vs XLA)
+        # signed-digit stepped Pallas ladder (the production TPU path of
+        # EdwardsPoint.mul_windowed; 353.9k/s vs 336.9k unsigned on v5e)
         from zerocaf_tpu.ops.pallas import field_kernels as fk
         # iters=2 matches benchmarks/probe_f9.py's graphs: warm-cache hit
-        t = time_chain(lambda p: fk.scalar_mul_windowed_stepped(p, w, 4), pt, 2)
+        t = time_chain(lambda p: fk.scalar_mul_windowed_signed(p, w, 4), pt, 2)
     else:
         t = time_chain(lambda p: ed._scalar_mul_windowed(p, w, 4), pt, 1)
 elif metric == "ladder":

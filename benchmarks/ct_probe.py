@@ -104,6 +104,26 @@ def main():
         print(json.dumps({"path": "field_mul", "class": name,
                           "ns_per_op": round(t / BATCH * 1e9, 3)}), flush=True)
 
+    # production signed-digit Pallas ladder (mul_windowed TPU default)
+    # per window-digit class
+    if jax.devices()[0].platform == "tpu":
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        rng = np.random.default_rng(2)
+        wclasses = {
+            "zeros": np.zeros((BATCH, 63), np.int32),
+            "max_digits": np.full((BATCH, 63), 15, np.int32),
+            "random": rng.integers(0, 16, (BATCH, 63)).astype(np.int32),
+            "alternating": np.tile(np.arange(63) % 16,
+                                   (BATCH, 1)).astype(np.int32),
+        }
+        for name, ws in wclasses.items():
+            w = jnp.asarray(ws)
+            t = time_chain(lambda p: fk.scalar_mul_windowed_signed(p, w, 4),
+                           pt, 2)
+            print(json.dumps({"path": "windowed_signed_pallas", "class": name,
+                              "us_per_op": round(t / BATCH * 1e6, 4)}),
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -447,9 +447,14 @@ class EdwardsPoint:
             use_fused = (_cfg.use_pallas and width == 4
                          and jax.default_backend() == "tpu")
         if use_fused:
+            # signed-digit stepped kernel: half-size table (entries 1..8),
+            # negation by Niels coordinate swap in-kernel; measured 5.0%
+            # over the unsigned stepped kernel on v5e (353.9k vs 336.9k
+            # mults/s, benchmarks/diag_windowed.py --signed); access
+            # pattern stays entry-uniform (every lane reads all entries)
             from ..ops.pallas import field_kernels as _fk
             pt = _broadcast_point(self._tuple(), windows.shape[:-1])
-            return EdwardsPoint(*_fk.scalar_mul_windowed_stepped(
+            return EdwardsPoint(*_fk.scalar_mul_windowed_signed(
                 pt, windows, width))
         return EdwardsPoint(*_scalar_mul_windowed(
             self._tuple(), windows, width))

@@ -801,6 +801,19 @@ def _pow_table_kernel(a_ref, tbl_ref, *, c_limbs, nb):
         tbl_ref[k * 32 + L:k * 32 + 32] = zpad
 
 
+def _pow_sq_kernel(r_ref, out_ref, *, c_limbs, width):
+    """width squarings, no multiply -- the step for ZERO exponent windows.
+    The chain exponents are pseudo-Mersenne-shaped (2^249 + d, d < 2^125),
+    so ~half the width-4 windows are zero; the exponent is static, so the
+    skip happens at trace time (uniform per-lane work is preserved: every
+    lane runs the same step sequence)."""
+    r = r_ref[0:L]
+    for _ in range(width):
+        r = _sqb(r, c_limbs)
+    out_ref[0:L] = r
+    out_ref[L:32] = jnp.zeros((32 - L,) + r.shape[1:], jnp.int32)
+
+
 def _pow_step_kernel(r_ref, tbl_ref, dig_ref, out_ref, *, c_limbs, width, nb):
     """One window step: width squarings, then multiply by the one-hot
     selected table entry (digit 0 multiplies by 1 -- uniform work, and the
@@ -876,14 +889,49 @@ def pow_tiled(a, e: int, spec: ModSpec = FIELD, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+    sq_call = pl.pallas_call(
+        functools.partial(_pow_sq_kernel, c_limbs=cl, width=width),
+        out_shape=jax.ShapeDtypeStruct((32, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((32, B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
 
-    dig = jnp.asarray(np.asarray(rest, np.int32))        # [nwin-1], static values
-    dig8 = jnp.broadcast_to(dig[:, None, None], (len(rest), 8, n_pad))
+    # split the static digit string into maximal zero / nonzero runs:
+    # zero windows need no table multiply, and the exponent is compile-time
+    # so the skip is free (the chain exponents are 2^249 + d with
+    # d < 2^125 -- about half their windows are zero)
+    segs = []
+    i = 0
+    while i < len(rest):
+        j = i
+        if rest[i] == 0:
+            while j < len(rest) and rest[j] == 0:
+                j += 1
+            segs.append(("z", j - i))
+        else:
+            while j < len(rest) and rest[j] != 0:
+                j += 1
+            segs.append(("m", rest[i:j]))
+        i = j
 
-    def body(r, d_row):
+    def mbody(r, d_row):
         return step_call(r, tbl, d_row), None
 
-    rf, _ = jax.lax.scan(body, r0, dig8)
+    def zbody(r, _):
+        return sq_call(r), None
+
+    rf = r0
+    for kind, v in segs:
+        if kind == "z":
+            rf, _ = jax.lax.scan(zbody, rf, None, length=v)
+        else:
+            dig = jnp.asarray(np.asarray(v, np.int32))
+            dig8 = jnp.broadcast_to(dig[:, None, None], (len(v), 8, n_pad))
+            rf, _ = jax.lax.scan(mbody, rf, dig8)
     return rf[:L].T[:n].reshape(*shape, L)
 
 
