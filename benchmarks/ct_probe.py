@@ -89,10 +89,38 @@ def main():
                                        (BATCH, 4, 22)).copy())
     pt = tuple(base[:, i] for i in range(4))
 
-    # 250-bit oblivious ladder per scalar class
+    # METHODOLOGY NOTES (both bugs were observed and fixed here):
+    # 1. The secret-class array MUST be a traced value (threaded through
+    #    the chained state), never a lambda closure -- jit treats
+    #    closed-over arrays as compile-time constants and XLA then
+    #    SPECIALIZES the graph per class (dead-code-eliminating the
+    #    multiply branch for an all-zeros constant scalar: observed 4.9 vs
+    #    10.0 us/op).  One compiled graph serves every class below.
+    # 2. The chained feedback MUST PRESERVE THE CLASS: chaining
+    #    x <- f(x) randomizes the operands after one iteration, so the
+    #    classes would all measure the same (random) distribution.  The
+    #    feedback below re-issues the class operand plus a sentinel
+    #    indicator of the previous output -- a real data dependency XLA
+    #    cannot fold, while the measured operands stay in-class (+-1 on
+    #    one limb) every iteration.
+    SENTINEL = 1234567  # never produced in practice; not provably so to XLA
+
+    def dep(y):
+        """[batch, 1]-shaped data dependency that is 0 in practice."""
+        return (y[..., :1] == SENTINEL).astype(jnp.int32)
+
+    # 250-bit oblivious ladder per scalar-bit class
     for name, bits in scalar_classes().items():
         b = jnp.asarray(bits)
-        t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
+
+        def step(s):
+            p, cls = s
+            q = ed._scalar_mul(p, cls)
+            b2 = jnp.concatenate([cls[..., :1] ^ dep(q[0]), cls[..., 1:]],
+                                 axis=-1)
+            return (p, b2)
+
+        t = time_chain(step, (pt, b), 1)
         print(json.dumps({"path": "ladder", "class": name,
                           "us_per_op": round(t / BATCH * 1e6, 4)}), flush=True)
 
@@ -100,7 +128,15 @@ def main():
     ys = jnp.asarray(field_classes()["random"])
     for name, xs in field_classes().items():
         x = jnp.asarray(xs)
-        t = time_chain(lambda a: l.mul(a, ys, l.FIELD), x, 64)
+
+        def step(s):
+            a, b2, cls = s
+            y = l.mul(a, b2, l.FIELD)
+            a2 = jnp.concatenate([cls[..., :1] + dep(y), cls[..., 1:]],
+                                 axis=-1)
+            return (a2, b2, cls)
+
+        t = time_chain(step, (x, ys, x), 256)
         print(json.dumps({"path": "field_mul", "class": name,
                           "ns_per_op": round(t / BATCH * 1e9, 3)}), flush=True)
 
@@ -118,8 +154,15 @@ def main():
         }
         for name, ws in wclasses.items():
             w = jnp.asarray(ws)
-            t = time_chain(lambda p: fk.scalar_mul_windowed_signed(p, w, 4),
-                           pt, 2)
+
+            def step(s):
+                p, cls = s
+                q = fk.scalar_mul_windowed_signed(p, cls, 4)
+                w2 = jnp.concatenate([cls[..., :1] ^ dep(q[0]),
+                                      cls[..., 1:]], axis=-1)
+                return (p, w2)
+
+            t = time_chain(step, (pt, w), 2)
             print(json.dumps({"path": "windowed_signed_pallas", "class": name,
                               "us_per_op": round(t / BATCH * 1e6, 4)}),
                   flush=True)
