@@ -54,14 +54,22 @@ def time_chain(step, init, iters, reps=3):
 
 def main():
     variant = sys.argv[1]
+    # "signed14" / "signed15" / "signed16": the signed-digit comb at that
+    # width through the stepped Pallas path (half-size table per window,
+    # fewer windows at larger width)
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    cw = ed.COMB_WIDTH
-    nwin = ed._fixed_base_table(cw).shape[0]
+    signed = variant.startswith("signed")
+    cw = int(variant[6:]) if signed else ed.COMB_WIDTH
+    nwin = (ed._fixed_base_table_signed(cw) if signed
+            else ed._fixed_base_table(cw)).shape[0]
     rng = np.random.default_rng(0)
     w0 = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
 
     if variant == "xla":
         comb = lambda w: ed._fixed_base_mul(w, cw)
+    elif signed:
+        from zerocaf_tpu.ops.pallas import field_kernels as fk
+        comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True)
     else:
         from zerocaf_tpu.ops.pallas import field_kernels as fk
         pf = variant == "pallas_prefetch"

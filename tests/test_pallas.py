@@ -180,3 +180,33 @@ class TestSignedWindowedLadder:
         d = np.asarray(fk._signed_recode(w, 4)).astype(np.int64)
         for row, k in zip(d, ks):
             assert sum(int(v) << (4 * i) for i, v in enumerate(row)) == k
+
+
+class TestSignedComb:
+    def test_signed_comb_matches_unsigned(self):
+        """Signed-digit fixed-base comb == unsigned XLA comb for canonical
+        scalars (both as XLA and as the stepped Pallas path)."""
+        from zerocaf_tpu import Scalar
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.models.ristretto import _compress
+
+        cw = 8
+        nwin = ed._fixed_base_table(cw).shape[0]
+        assert ed._fixed_base_table_signed(cw).shape[0] == nwin
+        ks = [int.from_bytes(rng.bytes(32), "little") % o.R for _ in range(24)]
+        w = Scalar.from_int(ks).windows(cw, nwin)
+        ref = _compress(ed._fixed_base_mul(w, cw))
+        got_xla = _compress(ed._fixed_base_mul_signed(w, cw))
+        assert (np.asarray(got_xla) == np.asarray(ref)).all()
+        got_pl = _compress(fk.fixed_base_mul_stepped(
+            w, cw, interpret=True, signed=True))
+        assert (np.asarray(got_pl) == np.asarray(ref)).all()
+
+    def test_signed_table_geometry(self):
+        from zerocaf_tpu.models import edwards as ed
+        t = ed._fixed_base_table_signed(8)
+        assert t.shape == (32, 129, 3, 22)
+        # entry 0 is the Niels identity (1, 1, 0)
+        one = o.int_to_limbs(1)
+        assert (t[:, 0, 0] == one).all() and (t[:, 0, 1] == one).all()
+        assert (t[:, 0, 2] == 0).all()

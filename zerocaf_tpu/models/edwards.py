@@ -208,6 +208,95 @@ def _fixed_base_table(width: int = COMB_WIDTH) -> np.ndarray:
     return tbl
 
 
+_FIXED_BASE_TABLES_SIGNED: dict[int, np.ndarray] = {}
+
+
+def _fixed_base_table_signed(width: int) -> np.ndarray:
+    """[nwin, 2^(width-1)+1, 3, 22] affine-Niels comb table for SIGNED
+    digits: only the non-negative multiples 0..2^(width-1); negation is
+    free in Niels form (swap y+x / y-x, negate 2dxy), so a signed width-w
+    comb covers 250 bits with ceil(250/width) windows at HALF the
+    per-window table of the unsigned comb -- e.g. width 15 signed: 17
+    mixed adds (vs 20 at unsigned width 13) with a 2^14-entry table."""
+    tbl = _FIXED_BASE_TABLES_SIGNED.get(width)
+    if tbl is None:
+        import os
+
+        nwin = -(-250 // width)
+        nent = (1 << (width - 1)) + 1
+        cache = os.path.expanduser(
+            f"~/.cache/zerocaf_tpu/comb_niels_s_w{width}.npy")
+        want_shape = (nwin, nent, 3, 22)
+        if os.path.exists(cache):
+            try:
+                tbl = np.load(cache)
+            except (OSError, ValueError):
+                tbl = None
+            if tbl is not None and (tbl.shape != want_shape
+                                    or tbl.dtype != np.int32):
+                tbl = None
+        if tbl is None:
+            from .. import oracle as o
+
+            tbl = np.zeros(want_shape, dtype=np.int32)
+            base_w = o.BASEPOINT
+            for w in range(nwin):
+                acc = o.IDENTITY
+                for d in range(nent):
+                    x, y = o.point_to_affine(acc)
+                    tbl[w, d, 0] = o.int_to_limbs((y + x) % o.P)
+                    tbl[w, d, 1] = o.int_to_limbs((y - x) % o.P)
+                    tbl[w, d, 2] = o.int_to_limbs(2 * o.EDWARDS_D * x * y % o.P)
+                    acc = o.point_add(acc, base_w)
+                base_w = o.mul_by_pow_2(base_w, width)
+            try:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                tmp = f"{cache}.{os.getpid()}.tmp.npy"
+                np.save(tmp, tbl)
+                os.replace(tmp, cache)
+            except OSError:
+                pass
+        _FIXED_BASE_TABLES_SIGNED[width] = tbl
+    return tbl
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _fixed_base_mul_signed(windows, width: int):
+    """Signed-digit comb: recode unsigned width-bit windows to digits in
+    [-2^(width-1), 2^(width-1)), gather |d| from the half-size table, and
+    apply the sign by the Niels swap/negate.  Degeneracy argument (same
+    shape as _fixed_base_mul's): the partial sum before window w has
+    |scalar| < sum_{j<w} 2^(width*j + width-1) < 2^(width*w), while a
+    nonzero entry's |scalar| is >= 2^(width*w) -- so acc == +-entry forces
+    the identity case, which _madd_niels handles."""
+    from ..ops.pallas.field_kernels import _signed_recode
+
+    tbl = jnp.asarray(_fixed_base_table_signed(width))
+    nwin = tbl.shape[0]
+    assert windows.shape[-1] == nwin, (windows.shape, nwin)
+    signed = _signed_recode(windows, width)
+
+    def body(Q, wd):
+        w, d = wd
+        a = jnp.abs(d)
+        neg = d < 0
+        entry_all = tbl[w]  # [2^(width-1)+1, 3, 22]
+        e = [jnp.take(entry_all[:, i], a, axis=0) for i in range(3)]
+        e0 = _l.select(neg, e[1], e[0])
+        e1 = _l.select(neg, e[0], e[1])
+        e2 = _l.select(neg, _l.neg(e[2]), e[2])
+        return _madd_niels(Q, (e0, e1, e2)), None
+
+    batch = windows.shape[:-1]
+    zero = jnp.zeros(batch + (22,), jnp.int32)
+    one = zero.at[..., 0].set(1)
+    Q0 = (zero, one, one, zero)
+    ws = jnp.arange(0, nwin)
+    ds = jnp.moveaxis(signed, -1, 0)
+    Q, _ = jax.lax.scan(body, Q0, (ws, ds))
+    return Q
+
+
 def _madd_niels(Q, entry):
     """Mixed addition extended + affine-Niels (y+x, y-x, 2dxy), 7M -- the
     a=-1 analogue of curve25519-dalek's AffineNielsPoint addition.  Valid for

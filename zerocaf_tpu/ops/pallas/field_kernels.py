@@ -375,14 +375,21 @@ def _madd_affine_kernel(q_ref, e_ref, out_ref, *, c_limbs):
         out_ref[lo + L:lo + 32] = zpad
 
 
-@functools.partial(jax.jit, static_argnames=("width", "interpret", "prefetch"))
+@functools.partial(jax.jit, static_argnames=("width", "interpret", "prefetch",
+                                             "signed"))
 def fixed_base_mul_stepped(windows, width, interpret: bool = False,
-                           prefetch: bool = False):
+                           prefetch: bool = False, signed: bool = False):
     """Fixed-base comb multiplication with the 7M mixed adds fused in
     Pallas.  The per-window gather from the (shared, 2^width-entry) comb
     table stays in XLA -- per-lane gathers from large shared tables are
     XLA's strength and Mosaic's weakness; only the field math moves into
     the kernel.  Bit-compatible with models.edwards._fixed_base_mul.
+
+    signed=True recodes the unsigned windows to digits in
+    [-2^(width-1), 2^(width-1)) and gathers |d| from the HALF-size signed
+    table (models/edwards._fixed_base_table_signed), applying the sign by
+    the Niels swap/negate in the XLA glue; a signed width-15 comb covers
+    250 bits in 17 mixed adds vs 20 for the unsigned width-13 comb.
 
     prefetch=True hoists ALL nwin gathers out of the scan into one batched
     take (flat index w * 2^width + digit) and pre-transposes the entries to
@@ -397,13 +404,19 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
     OFF and is additionally capped at _PREFETCH_MAX_LANES lanes."""
     from ...models import edwards as _edm
 
-    tbl = jnp.asarray(_edm._fixed_base_table(width))  # [nwin, 2^w, 3, 22]
+    if signed:
+        assert not prefetch, "signed comb implements the per-step path only"
+        tbl = jnp.asarray(_edm._fixed_base_table_signed(width))
+    else:
+        tbl = jnp.asarray(_edm._fixed_base_table(width))  # [nwin, 2^w, 3, 22]
     nwin = tbl.shape[0]
     shape = windows.shape[:-1]
     n = int(np.prod(shape)) if shape else 1
     B = PADD_LANES
     n_pad = -(-n // B) * B
     win = windows.reshape(n, nwin)
+    if signed:
+        win = _signed_recode(win, width)
     win = jnp.pad(win, [(0, n_pad - n), (0, 0)])
 
     cl = tuple(int(v) for v in FIELD.fold_c_limbs)
@@ -438,6 +451,21 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
             return madd(q, e), None
 
         qf, _ = jax.lax.scan(body, q0, ent)
+    elif signed:
+        def body(q, wd):
+            w_idx, d = wd
+            a = jnp.where(d < 0, -d, d)
+            entry = jnp.take(tbl[w_idx], a, axis=0)  # [n_pad, 3, 22]
+            neg = (d < 0)[:, None]
+            e0 = jnp.where(neg, entry[:, 1], entry[:, 0])
+            e1 = jnp.where(neg, entry[:, 0], entry[:, 1])
+            e2 = jnp.where(neg, -entry[:, 2], entry[:, 2])
+            e = jnp.stack([e0, e1, e2], axis=0)      # [3, n_pad, 22]
+            e = e.transpose(0, 2, 1)                 # [3, 22, n_pad]
+            e = jnp.pad(e, [(0, 0), (0, 32 - L), (0, 0)]).reshape(96, n_pad)
+            return madd(q, e), None
+
+        qf, _ = jax.lax.scan(body, q0, (jnp.arange(nwin), ds))
     else:
         def body(q, wd):
             w_idx, d = wd
