@@ -91,17 +91,20 @@ elif metric == "ladder":
     else:
         t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
 elif metric == "fixed_base":
-    cw = ed.COMB_WIDTH
-    nwin = ed._fixed_base_table(cw).shape[0]
-    w = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
-    # Measured fastest on v5e (benchmarks/diag_fixed_base.py): the Pallas
-    # stepped kernel with PER-STEP gather, 2.57M/s vs 2.35M XLA comb vs
-    # 575k for the r2 prefetch variant (the BENCH_r02 regression).
+    # Measured fastest on v5e (benchmarks/diag_fixed_base.py): the SIGNED
+    # width-14 comb through the stepped Pallas kernel, 2.65M/s vs 2.57M
+    # unsigned w13, 2.38M signed w15, 2.35M XLA comb, 575k for the r2
+    # prefetch variant (the BENCH_r02 regression).
     if jax.devices()[0].platform == "tpu":
         from zerocaf_tpu.ops.pallas import field_kernels as fk
-        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw, prefetch=False)
+        cw = ed.COMB_WIDTH_SIGNED
+        nwin = ed._fixed_base_table_signed(cw).shape[0]
+        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True)
     else:
+        cw = ed.COMB_WIDTH
+        nwin = ed._fixed_base_table(cw).shape[0]
         _comb = lambda w: ed._fixed_base_mul(w, cw)
+    w = jnp.asarray(rng.integers(0, 1 << cw, (batch, nwin)).astype(np.int32))
     def step(w):
         # Bench-only chaining: the mangled digits are arbitrary width-cw
         # vectors (values up to ~2^260), OUTSIDE the canonical-scalar

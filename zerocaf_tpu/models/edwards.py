@@ -156,6 +156,7 @@ _FIXED_BASE_TABLES: dict[int, np.ndarray] = {}
 # 2.35M mults/s vs 2.0M at width 10 at batch 16384; the 43 MB table is a
 # one-time ~25 s oracle build, then disk-cached).
 COMB_WIDTH = 13
+COMB_WIDTH_SIGNED = 14  # measured-fastest signed comb width on v5e (2.65M/s)
 
 
 def _fixed_base_table(width: int = COMB_WIDTH) -> np.ndarray:
@@ -465,19 +466,26 @@ class EdwardsPoint:
         generalizes window_naf_mul + BASEPOINT_ODD_MULTIPLES_TABLE,
         edwards.rs:155-171).
 
-        Production TPU path: the Pallas stepped kernel with per-step table
-        gather (prefetch=False), measured fastest on v5e at width 13 /
-        batch 16k: 2.57M mults/s vs 2.35M for the XLA comb and 575k for the
-        r2 prefetch variant (benchmarks/diag_fixed_base.py reconciles the
-        BENCH_r02 regression).  CPU and use_fused=False take the XLA comb."""
-        nwin = -(-250 // width)
-        windows = scalar.windows(width, nwin)
+        Production TPU path: the SIGNED width-14 comb through the stepped
+        Pallas kernel (18 mixed adds, half-size-per-window table), measured
+        fastest on v5e at batch 16k: 2.65M mults/s vs 2.57M unsigned w13,
+        2.38M signed w15, 2.35M XLA comb, 575k for the r2 prefetch variant
+        (benchmarks/diag_fixed_base.py).  Applies when `width` is left at
+        the default; an explicit width keeps the unsigned comb at that
+        width.  CPU and use_fused=False take the XLA comb."""
         if use_fused is None:
             from ..config import DEFAULT as _cfg
             use_fused = _cfg.use_pallas and jax.default_backend() == "tpu"
         if use_fused:
             from ..ops.pallas import field_kernels as _fk
+            if width == COMB_WIDTH:  # default: the measured-fastest config
+                sw = COMB_WIDTH_SIGNED
+                windows = scalar.windows(sw, -(-250 // sw))
+                return cls(*_fk.fixed_base_mul_stepped(windows, sw,
+                                                       signed=True))
+            windows = scalar.windows(width, -(-250 // width))
             return cls(*_fk.fixed_base_mul_stepped(windows, width))
+        windows = scalar.windows(width, -(-250 // width))
         return cls(*_fixed_base_mul(windows, width))
 
     @classmethod
