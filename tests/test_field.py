@@ -94,6 +94,12 @@ class TestSqrt:
         got = np.asarray(fe([A, 17, 1]).legendre_symbol())
         assert list(got) == [False, True, True]
 
+    def test_legendre_value(self):
+        """Field-value convention (field.rs:703-706): 1 / p-1 / 0 -- keeps
+        zero distinguishable from a non-residue."""
+        got = fe([A, 17, 1, 0]).legendre_symbol_value().to_ints()
+        assert list(got) == [o.P - 1, 1, 1, 0]
+
     def test_mod_sqrt_signs(self):
         ok, r = fe([17, 17, 0]).mod_sqrt(jnp.array([0, 1, 0]))
         assert list(np.asarray(ok)) == [True, True, True]

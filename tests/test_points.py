@@ -109,6 +109,23 @@ class TestEdwards:
         assert int(xs[0]) == P1[0] and int(xs[1]) == P2[0]
         assert int(xs[3]) == o.BASEPOINT[0]
 
+    def test_new_random_point(self):
+        """Rejection-sampled constructor (edwards.rs:984-997): valid curve
+        points that can land OUTSIDE the prime subgroup (unlike .random's
+        k*B) -- with 8 lanes, P(all in the order-l subgroup) = 8^-8."""
+        key = jax.random.PRNGKey(7)
+        p, ok = EdwardsPoint.new_random_point(key, (B,))
+        assert np.asarray(ok).all()
+        assert np.asarray(p.is_valid()).all()
+        lP = p.mul_raw_int(o.R)
+        in_subgroup = np.asarray(lP.eq(EdwardsPoint.identity((B,))))
+        assert not in_subgroup.all()
+        # projective variant shares the sampler
+        q, okq = ProjectivePoint.new_random_point(key, (B,))
+        assert np.asarray(okq).all()
+        assert np.asarray(q.is_valid()).all()
+        assert np.asarray(q.eq(p.to_projective())).all()
+
     def test_projective(self):
         p, pts = batch_points(BASE_PTS)
         pp = p.to_projective()

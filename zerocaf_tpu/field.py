@@ -182,8 +182,19 @@ class FieldElement:
 
     # -- square roots -------------------------------------------------------
     def legendre_symbol(self) -> jnp.ndarray:
-        """True = QR (Choice(1)), False = non-QR (field.rs:703-706)."""
+        """True = QR (Choice(1)), False = non-QR or zero (field.rs:703-706).
+
+        NOTE: this boolean form conflates 0 with non-residue; use
+        `legendre_symbol_value` for the three-way field-value convention."""
         return _isq.legendre_is_qr(self.limbs, self.spec)
+
+    def legendre_symbol_value(self) -> "FieldElement":
+        """The Legendre symbol as a field element: a^((p-1)/2), which is
+        1 for a nonzero QR, p-1 (== -1) for a non-residue, and 0 for zero --
+        the reference's underlying convention (field.rs:703-706 computes
+        exactly this power before collapsing it to a Choice)."""
+        return FieldElement(
+            _l.pow_const(self.limbs, (C.P - 1) // 2, self.spec), self.spec)
 
     def mod_sqrt(self, sign) -> tuple[jnp.ndarray, "FieldElement"]:
         """(exists, root); sign semantics follow the reference exactly

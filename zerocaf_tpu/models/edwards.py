@@ -269,7 +269,13 @@ def _fixed_base_mul_signed(windows, width: int):
     shape as _fixed_base_mul's): the partial sum before window w has
     |scalar| < sum_{j<w} 2^(width*j + width-1) < 2^(width*w), while a
     nonzero entry's |scalar| is >= 2^(width*w) -- so acc == +-entry forces
-    the identity case, which _madd_niels handles."""
+    the identity case, which _madd_niels handles.  The integer-magnitude
+    argument is exact only while d*2^(width*w) < l (~2^249); for the top
+    windows (width 14 reaches ~2^251) a mod-l collision acc == +-entry is
+    satisfiable, but only by specific canonical scalars -- at most a few
+    per table entry out of ~2^249, i.e. a ~2^-238 fraction -- none of which
+    are reachable from the small-scalar test fixtures (differentially
+    verified over random scalars vs the oracle)."""
     from ..ops.pallas.field_kernels import _signed_recode
 
     tbl = jnp.asarray(_fixed_base_table_signed(width))
@@ -327,7 +333,10 @@ def _fixed_base_mul(windows, width: int = COMB_WIDTH):
     w the accumulator holds (k mod 2^(width*w)) * B and the entry is
     d_w * 2^(width*w) * B; their sum is (k mod 2^(width*(w+1))) * B with the
     scalar value < min(2^(width*(w+1)), r), so acc == -entry forces both to
-    be the identity, which _madd_niels handles exactly."""
+    be the identity, which _madd_niels handles exactly.  As with the signed
+    comb, the magnitude argument is exact only while d*2^(width*w) < l; the
+    top-window mod-l collision set is a ~2^-238 fraction of canonical
+    scalars (see _fixed_base_mul_signed)."""
     tbl = jnp.asarray(_fixed_base_table(width))  # [nwin, 2^width, 3, 22]
     nwin = tbl.shape[0]
     assert windows.shape[-1] == nwin, (windows.shape, nwin)
@@ -417,6 +426,35 @@ def _from_y(y, sign):
     return (x, y, one, _l.mul(x, y, _F)), ok
 
 
+@partial(jax.jit, static_argnames=("shape", "draws"))
+def _new_random_point(key, shape, draws):
+    """Reference-semantics random point (edwards.rs:984-997): rejection-
+    sample y until xx = (y^2-1)/(d*y^2+1) is a square, then lift with a
+    random x-sign.  Batched mask-retry over a fixed draw budget: `draws`
+    candidate ys per lane; a cheap Legendre test (num*den has the same
+    quadratic character as num/den for den != 0) picks the first valid
+    draw per lane, and ONE full _from_y lift runs on the selection.
+    Failure probability per lane ~2^-draws (non-residues occur w.p. ~1/2).
+    Can land in any of the 8 cosets -- unlike EdwardsPoint.random's k*B,
+    which stays in the prime subgroup.  Returns ((X, Y, Z, T), ok)."""
+    ky, ks = jax.random.split(key)
+    ys = FieldElement.random(ky, (draws,) + shape).limbs  # [draws, ..., 22]
+    signs = (jax.random.bits(ks, (draws,) + shape, dtype=jnp.uint8)
+             & 1).astype(jnp.int32)
+    ys2 = _l.square(ys, _F)
+    one = jnp.zeros_like(ys).at[..., 0].set(1)
+    num = _l.sub(ys2, one)
+    den = _l.add(_l.mul(_D, ys2, _F), one)  # d*y^2 - a = d*y^2 + 1
+    # xx is QR  <=>  num*den is QR or num == 0 (y = +-1 gives x = 0)
+    ok_d = (_isq.legendre_is_qr(_l.mul(num, den, _F), _F)
+            | _l.eq(num, jnp.zeros_like(num), _F))
+    idx = jnp.argmax(ok_d.astype(jnp.int8), axis=0)  # first valid draw
+    y_sel = jnp.take_along_axis(ys, idx[None, ..., None], axis=0)[0]
+    s_sel = jnp.take_along_axis(signs, idx[None], axis=0)[0]
+    pt, _ = _from_y(y_sel, s_sel)
+    return pt, ok_d.any(axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Public classes
 # ---------------------------------------------------------------------------
@@ -459,7 +497,7 @@ class EdwardsPoint:
         return cls(X, Y, Z, T), ok
 
     @classmethod
-    def basepoint_mul(cls, scalar: Scalar, width: int = COMB_WIDTH,
+    def basepoint_mul(cls, scalar: Scalar, width: int | None = None,
                       use_fused: bool | None = None) -> "EdwardsPoint":
         """B*k via the fixed-base affine-Niels comb table: ceil(250/width)
         mixed 7M adds, no doublings (the high-throughput keygen path;
@@ -470,31 +508,45 @@ class EdwardsPoint:
         Pallas kernel (18 mixed adds, half-size-per-window table), measured
         fastest on v5e at batch 16k: 2.65M mults/s vs 2.57M unsigned w13,
         2.38M signed w15, 2.35M XLA comb, 575k for the r2 prefetch variant
-        (benchmarks/diag_fixed_base.py).  Applies when `width` is left at
-        the default; an explicit width keeps the unsigned comb at that
-        width.  CPU and use_fused=False take the XLA comb."""
+        (benchmarks/diag_fixed_base.py).  Applies only when `width` is
+        omitted (None); ANY explicit width -- including 13 -- keeps the
+        unsigned comb at that width and its caller-visible table.  CPU and
+        use_fused=False take the XLA comb."""
         if use_fused is None:
             from ..config import DEFAULT as _cfg
             use_fused = _cfg.use_pallas and jax.default_backend() == "tpu"
         if use_fused:
             from ..ops.pallas import field_kernels as _fk
-            if width == COMB_WIDTH:  # default: the measured-fastest config
+            if width is None:  # default: the measured-fastest config
                 sw = COMB_WIDTH_SIGNED
                 windows = scalar.windows(sw, -(-250 // sw))
                 return cls(*_fk.fixed_base_mul_stepped(windows, sw,
                                                        signed=True))
             windows = scalar.windows(width, -(-250 // width))
             return cls(*_fk.fixed_base_mul_stepped(windows, width))
+        if width is None:
+            width = COMB_WIDTH
         windows = scalar.windows(width, -(-250 // width))
         return cls(*_fixed_base_mul(windows, width))
 
     @classmethod
     def random(cls, key: jax.Array, shape: tuple[int, ...] = ()) -> "EdwardsPoint":
         """Random points: k*B for uniform k (always on-curve, in the prime
-        subgroup; the reference rejection-samples y instead,
-        edwards.rs:984-997)."""
+        subgroup).  For the reference's rejection-sampled constructor --
+        which can land in any coset -- use `new_random_point`
+        (edwards.rs:984-997)."""
         k = Scalar.random(key, shape)
         return cls.basepoint(shape) * k
+
+    @classmethod
+    def new_random_point(cls, key: jax.Array, shape: tuple[int, ...] = (),
+                         draws: int = 16) -> tuple["EdwardsPoint", jnp.ndarray]:
+        """Reference-semantics random point (edwards.rs:984-997): rejection-
+        sample y (fixed `draws` budget, batched mask-retry) and lift with a
+        random x-sign.  Returns (point, ok); ok is False on the ~2^-draws
+        lanes where every candidate y was off-curve."""
+        pt, ok = _new_random_point(key, shape, draws)
+        return cls(*pt), ok
 
     # -- group ops ----------------------------------------------------------
     def _tuple(self):
@@ -704,6 +756,15 @@ class ProjectivePoint:
     @classmethod
     def new_from_y_coord(cls, y: FieldElement, sign) -> tuple["ProjectivePoint", jnp.ndarray]:
         (X, Y, Z, _), ok = _from_y(y.limbs, jnp.asarray(sign))
+        return cls(X, Y, Z), ok
+
+    @classmethod
+    def new_random_point(cls, key: jax.Array, shape: tuple[int, ...] = (),
+                         draws: int = 16) -> tuple["ProjectivePoint", jnp.ndarray]:
+        """The reference's randomized constructor (edwards.rs:984-997),
+        batched: rejection-sample y over a fixed draw budget, random x-sign.
+        Returns (point, ok) -- see EdwardsPoint.new_random_point."""
+        (X, Y, Z, _), ok = _new_random_point(key, shape, draws)
         return cls(X, Y, Z), ok
 
     @property

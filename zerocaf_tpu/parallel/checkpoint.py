@@ -70,10 +70,15 @@ def load(path: str) -> tuple[EdwardsPoint, int, dict] | None:
 
 
 def msm_with_checkpoints(points, scalars, block_size: int, path: str,
-                         mesh=None, c: int = 8):
+                         mesh=None, c: int | None = None):
     """Blockwise MSM with checkpoint after every block; resumes from `path`
     if present.  Exact integer math makes the blocked sum bit-identical to
-    the one-shot MSM."""
+    the one-shot MSM.
+
+    c=None (default) applies the same auto window-width policy as the
+    one-shot `msm` to each block (auto_c of the block size -- long jobs are
+    exactly the callers that care about the ~2x auto_c win at scale; see
+    BASELINE.md round-3 MSM table)."""
     from .msm import msm as _msm_single
     from .msm import msm_sharded as _msm_sharded
 

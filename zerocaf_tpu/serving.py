@@ -88,12 +88,18 @@ class Engine:
     def dh(self, sk32: jnp.ndarray, peer32: jnp.ndarray):
         """[batch, 32] scalar bytes + [batch, 32] peer Ristretto wire ->
         ([batch, 32] shared wire, ok mask).  Invalid peer encodings report
-        ok=False (their lanes hold garbage, as the decode mask dictates)."""
+        ok=False (their lanes hold garbage, as the decode mask dictates).
+
+        The secret-scalar multiply uses the signed windowed Pallas path
+        (`mul_windowed`): its one-hot table select reads every entry for
+        every lane, so the access pattern is secret-independent -- same
+        constant-time contract as the width-1 ladder but ~1.6x faster
+        (docs/CONSTANT_TIME.md path table)."""
         def build():
             def f(sk, peer):
                 s, _ = Scalar.from_bytes(sk)
                 p, ok = _ri._decompress(peer)
-                q = EdwardsPoint(*p) * s
+                q = EdwardsPoint(*p).mul_windowed(s)
                 return _ri._compress(q._tuple()), ok
             # peer buffer also consumed
             return (jax.jit(f, donate_argnums=(0, 1))
