@@ -1,6 +1,11 @@
 #!/usr/bin/env python
-"""Stage-level timing of the graph-split MSM at one size: argsort, gather,
-segmented scan, scatter, combine.  Decides where MSM optimization effort goes.
+"""Stage-level timing of the production MSM at one size: argsort, gather,
+Blelloch segmented scan, scatter, whole window, combine -- plus the dense
+VMEM bucket kernel for comparison.  Decides where MSM optimization effort
+goes (VERDICT r3 item 1: record the breakdown).
+
+Env: PROF_LOG2N (default 16), PROF_C (default auto_c), PROF_DENSE_C
+(default auto_c_dense).
 """
 
 import json
@@ -42,27 +47,37 @@ def timeit(fn, *args, iters=3, warmup=1):
     return ts[len(ts) // 2]
 
 
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
 def main():
+    c = int(os.environ.get("PROF_C", M.auto_c(N)))
+    dc = int(os.environ.get("PROF_DENSE_C", M.auto_c_dense(N)))
+    nwin = -(-251 // c)
+    nb = (1 << (c - 1)) + 1
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
     pts = z.EdwardsPoint.basepoint_mul(z.Scalar.random(k1, (N,)))
     scalars = z.Scalar.random(k2, (N,))
-    windows = scalars.windows(8, 32)
+    windows = scalars.windows(c, nwin)
+    mag, sgn = M.signed_digits(windows, c)
     pt = pts._tuple()
-    digits = windows[:, 0]
-    print(json.dumps({"n": N, "platform": jax.devices()[0].platform}), flush=True)
+    digits, sign0 = mag[:, 0], sgn[:, 0]
+    emit(n=N, c=c, nwin=nwin, nb=nb,
+         platform=jax.devices()[0].platform)
 
     t = timeit(jax.jit(jnp.argsort), digits)
-    print(json.dumps({"stage": "argsort", "s": round(t, 4)}), flush=True)
+    emit(stage="argsort", s=round(t, 4), per_window=True)
 
     order = jnp.argsort(digits)
 
     @jax.jit
     def gather(pt, order):
-        return tuple(c[order] for c in pt)
+        return tuple(co[order] for co in pt)
 
     t = timeit(gather, pt, order)
-    print(json.dumps({"stage": "gather_points", "s": round(t, 4)}), flush=True)
+    emit(stage="gather_points", s=round(t, 4), per_window=True)
 
     p_sorted = gather(pt, order)
     d_sorted = digits[order]
@@ -70,33 +85,36 @@ def main():
         [jnp.ones((1,), jnp.int32),
          (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
 
-    t = timeit(jax.jit(M._segmented_scan_points), p_sorted, starts)
-    print(json.dumps({"stage": "segmented_scan", "s": round(t, 4),
-                      "rounds": max(1, (N - 1).bit_length())}), flush=True)
+    t = timeit(jax.jit(M._seg_exclusive_scan), p_sorted, starts)
+    emit(stage="blelloch_scan", s=round(t, 4), per_window=True,
+         rounds=2 * max(1, (N - 1).bit_length()))
 
-    @jax.jit
-    def scatter(summed, d_sorted):
-        ends = jnp.concatenate([(d_sorted[1:] != d_sorted[:-1]),
-                                jnp.ones((1,), bool)])
-        idx = jnp.where(ends, d_sorted, 256)
-        return tuple(
-            jnp.zeros((257, 22), jnp.int32).at[:, 0].set(i0).at[idx].set(c)[:256]
-            for c, i0 in zip(summed, (0, 1, 1, 0)))
+    t = timeit(lambda: M._window_buckets_signed(pt, digits, sign0, nb))
+    emit(stage="window_total_scan", s=round(t, 4), per_window=True)
 
-    summed = M._segmented_scan_points(p_sorted, starts)
-    t = timeit(scatter, summed, d_sorted)
-    print(json.dumps({"stage": "scatter_buckets", "s": round(t, 4)}), flush=True)
+    # combine at this (c, nb): same shape the production run uses
+    one_w = M._window_buckets_signed(pt, digits, sign0, nb)
+    tables = tuple(jnp.stack([co] * nwin) for co in one_w)
+    t = timeit(lambda: M._combine_windows(tables, c, nb))
+    emit(stage="combine_windows", s=round(t, 4), per_window=False)
 
-    t = timeit(lambda: M._window_buckets(pt, digits, 256))
-    print(json.dumps({"stage": "window_total", "s": round(t, 4)}), flush=True)
+    # dense VMEM bucket kernel (one window), production dense width
+    from zerocaf_tpu.ops.pallas import msm_kernels as _mk
+    nb_d = (1 << (dc - 1)) + 1
+    nwin_d = -(-251 // dc)
+    mag_d, sgn_d = M.signed_digits(scalars.windows(dc, nwin_d), dc)
+    dsig = jnp.where(sgn_d, -mag_d, mag_d)
+    n_pad = _mk.dense_pad(N)
+    dsig = jnp.pad(dsig, [(0, n_pad - N), (0, 0)])
+    pt_stack = _mk.prep_points(pt)
+    interp = jax.devices()[0].platform != "tpu"
+    t = timeit(lambda: M._window_buckets_dense(pt_stack, dsig[:, 0], nb_d,
+                                               interpret=interp))
+    emit(stage="window_total_dense", s=round(t, 4), per_window=True,
+         dense_c=dc, nwin=nwin_d)
 
-    tables = tuple(jnp.stack([c] * 32) for c in scatter(summed, d_sorted))
-    t = timeit(lambda: M._combine_windows(tables, 8, 256))
-    print(json.dumps({"stage": "combine_windows", "s": round(t, 4)}), flush=True)
-
-    # raw N-wide EC add for reference
     t = timeit(jax.jit(lambda p: _ed._add(p, p)), pt)
-    print(json.dumps({"stage": "one_nwide_add", "s": round(t, 5)}), flush=True)
+    emit(stage="one_nwide_add", s=round(t, 5))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,39 @@ class TestMSM:
         assert o.point_eq(got, expect)
 
 
+class TestDenseBuckets:
+    """The dense VMEM bucket kernel (sort-free Pippenger) must agree with
+    the oracle and the scan path bit-for-bit.  Interpret-mode Pallas on
+    CPU; N deliberately NOT a multiple of DENSE_LANES (pad lanes carry
+    digit 0 and must not contribute)."""
+
+    def test_dense_matches_oracle(self):
+        from zerocaf_tpu.parallel.msm import _msm_dense
+        pts, scalars, pts_o, ks = make_inputs(600)
+        c = 5
+        nwin = -(-251 // c)
+        windows = scalars.windows(c, nwin)
+        total = EdwardsPoint(
+            *_msm_dense(pts._tuple(), windows, c, nwin, interpret=True))
+        expect = o.msm(pts_o, ks)
+        got = tuple(int(v) for v in total.to_ints())
+        assert o.point_eq(got, expect)
+
+    def test_dense_edge_scalars(self):
+        from zerocaf_tpu.parallel.msm import _msm_dense
+        pts, _, pts_o, _ = make_inputs(8)
+        ks = [0, 1, o.R - 1, 0, 2, o.R - 1, 1, 0]
+        scalars = Scalar.from_int(np.array(ks, dtype=object))
+        c = 4
+        nwin = -(-251 // c)
+        windows = scalars.windows(c, nwin)
+        total = EdwardsPoint(
+            *_msm_dense(pts._tuple(), windows, c, nwin, interpret=True))
+        expect = o.msm(pts_o[:8], ks)
+        got = tuple(int(v) for v in total.to_ints())
+        assert o.point_eq(got, expect)
+
+
 class TestCheckpoint:
     def test_blockwise_resume(self, tmp_path):
         pts, scalars, pts_o, ks = make_inputs(32)

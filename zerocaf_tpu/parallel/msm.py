@@ -73,6 +73,14 @@ def auto_c(n: int) -> int:
     return 14
 
 
+def auto_c_dense(n: int) -> int:
+    """Window width for the dense VMEM bucket kernel.  Unlike the scan
+    path (whose per-window sort/scan overhead pushes c up), dense cost is
+    ~(2*(nb-1)*select + 1 padd) * ceil(251/c) per point: c=5/6 minimize it
+    on paper; c=6 fewer kernel passes (measured sweep in BASELINE.md r4)."""
+    return 6 if n > 1 << 12 else 5
+
+
 @partial(jax.jit, static_argnames=("c",))
 def signed_digits(windows: jnp.ndarray, c: int):
     """Recode unsigned c-bit windows into signed digits in
@@ -274,6 +282,48 @@ def _bucket_table(pt, digits, nbuckets: int, sign=None):
     return _padd(scatter(excl), scatter(p_sorted))
 
 
+@partial(jax.jit, static_argnames=("nb", "interpret"))
+def _window_buckets_dense(pt_stack, dsigned, nb: int, interpret: bool = False):
+    """One Pippenger window via the dense VMEM bucket kernel: no sort, no
+    gather -- the kernel streams points once and scatters by one-hot into
+    per-lane tables (ops/pallas/msm_kernels.py).  The DENSE_LANES per-lane
+    tables are then tree-reduced across the lane axis (exact integer EC
+    math: any reduction order is bit-exact).  Returns [nb, 22] coords."""
+    from ..ops.pallas import msm_kernels as _mk
+
+    dig8 = jnp.broadcast_to(dsigned[None, :], (8, dsigned.shape[0]))
+    tbl = _mk.bucket_accum(pt_stack, dig8, nb, interpret=interpret)
+    arr = tbl.reshape(nb, 4, _mk.PITCH, _mk.DENSE_LANES)[:, :, :22]
+    v = tuple(jnp.moveaxis(arr[:, j], -1, 1) for j in range(4))  # [nb, B, 22]
+    w = _mk.DENSE_LANES
+    while w > 1:
+        half = w // 2
+        a = tuple(cv[:, :half] for cv in v)
+        b = tuple(cv[:, half:w] for cv in v)
+        v = _padd(a, b)
+        w = half
+    return tuple(cv[:, 0] for cv in v)
+
+
+def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
+    """Dense-kernel MSM body: per-window bucket kernel (python loop -- one
+    compiled graph reused across windows) + the shared combine."""
+    from ..ops.pallas import msm_kernels as _mk
+
+    nb = (1 << (c - 1)) + 1
+    mag, sgn = signed_digits(windows, c)
+    dsig = jnp.where(sgn, -mag, mag)  # [N, nwin]
+    n = dsig.shape[0]
+    n_pad = _mk.dense_pad(n)
+    dsig = jnp.pad(dsig, [(0, n_pad - n), (0, 0)])
+    pt_stack = _mk.prep_points(pt)
+    per_w = [_window_buckets_dense(pt_stack, dsig[:, w], nb,
+                                   interpret=interpret)
+             for w in range(nwin)]
+    tables = tuple(jnp.stack([pw[i] for pw in per_w]) for i in range(4))
+    return _combine_windows(tables, c, nb)
+
+
 @partial(jax.jit, static_argnames=("nbuckets",))
 def _window_buckets(pt, digits, nbuckets: int):
     """One Pippenger window as a small standalone graph: compiled once and
@@ -351,17 +401,45 @@ def _combine_windows(tables, c: int, nbuckets: int):
     return T
 
 
+def _use_dense(n: int, c, fused: bool, signed: bool,
+               dense: bool | None) -> bool:
+    """Route to the dense VMEM bucket kernel?  TPU + Pallas + signed only;
+    explicit c wider than MAX_DENSE_C keeps the scan path (the dense
+    accumulator block is VMEM-sized for nb <= 2^(MAX_DENSE_C-1)+1)."""
+    if dense is not None:
+        return dense
+    if fused or not signed or n < 1 << 12:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from ..config import DEFAULT as _cfg
+    if not _cfg.use_pallas:
+        return False
+    from ..ops.pallas.msm_kernels import MAX_DENSE_C
+    return c is None or c <= MAX_DENSE_C
+
+
 def msm(points: EdwardsPoint, scalars: Scalar, c: int | None = None,
-        fused: bool = False, signed: bool = True) -> EdwardsPoint:
+        fused: bool = False, signed: bool = True,
+        dense: bool | None = None) -> EdwardsPoint:
     """Single-device MSM: sum(k_i * P_i) (BASELINE.json config 3-4).
 
-    Default path runs one small jitted kernel per window (python loop) plus
-    one combine kernel -- three small graphs total, friendly to slow/fragile
-    compilers.  fused=True uses the single-graph _msm_local (what shard_map
-    traces).  c=None picks the window width by N (auto_c); signed digits
-    halve the bucket count (standard mods recoding, scalar.rs:433-442)."""
+    On TPU the default is the DENSE VMEM bucket kernel (no sort, no
+    gather; ops/pallas/msm_kernels.py) at width auto_c_dense(n) -- measured
+    ~4x over the r3 scan path at 2^18+ (BASELINE.md round 4).  dense=False
+    (or an explicit c > MAX_DENSE_C, or CPU) takes the sort+scan path: one
+    small jitted kernel per window plus one combine kernel.  fused=True
+    uses the single-graph _msm_local (what shard_map traces).  c=None
+    picks the window width by N; signed digits halve the bucket count
+    (standard mods recoding, scalar.rs:433-442)."""
+    n = int(np.prod(points.shape))
+    if _use_dense(n, c, fused, signed, dense):
+        cd = c if c is not None else auto_c_dense(n)
+        nwin = -(-251 // cd)
+        windows = scalars.windows(cd, nwin)
+        return EdwardsPoint(*_msm_dense(points._tuple(), windows, cd, nwin))
     if c is None:
-        c = auto_c(int(np.prod(points.shape)))
+        c = auto_c(n)
     # 251 bits of window coverage: the signed recode's carry out of window
     # w lands in window w+1, and canonical scalars reach 2^250 - 1.
     nwin = -(-251 // c)
