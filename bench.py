@@ -223,6 +223,26 @@ def main() -> None:
         r = results.get(m)
         return round(r["batch"] / r["sec"], 1) if r else None
 
+    # --- MFU attribution (the 10^7 north-star gap, made auditable) -------
+    # Field-mul-equivalents per op for each path (squarings counted as
+    # muls; selects/adds/carries excluded -- this is a MUL-roofline model):
+    #   windowed w4:  63 windows x (3 dbl@7M + 1 dbl@8M + madd@8M) = 2331
+    #                 + table build 7 x 10M + 8 Niels converts      ~ 2409
+    #   ladder w1:    250 x (dbl@8M + madd@8M)                      = 4000
+    #   fixed_base:   18 signed-w14 comb steps x 7M mixed adds      =  126
+    #   ristretto:    2 inv_sqrt-style chains (~250 sq + ~50 mul)   ~  600
+    #   msm (dense c=6, per point): 42 windows x unified add @10.5M ~  441
+    # mfu[m] = implied muls/s / measured Pallas mul roofline (same run).
+    MULS_PER_OP = {"windowed": 2409, "ladder": 4000, "fixed_base": 126,
+                   "ristretto_encode": 600, "msm": 441}
+    mul_rate = rate("field_mul")
+    mfu = {}
+    if mul_rate:
+        for m, k in MULS_PER_OP.items():
+            r = rate(m)
+            if r:
+                mfu[m] = round(r * k / mul_rate, 4)
+
     headline = rate("windowed") or rate("ladder") or rate("fixed_base") or 0.0
     out = {
         "metric": "scalar_mults_per_sec_per_chip",
@@ -238,6 +258,8 @@ def main() -> None:
         "msm_points_per_sec": rate("msm"),
         "msm_points": results.get("msm", {}).get("batch"),
         "msm_wall_s": round(results["msm"]["sec"], 4) if "msm" in results else None,
+        "mfu": mfu,
+        "mfu_model_muls_per_op": MULS_PER_OP,
     }
     print(json.dumps(out))
 

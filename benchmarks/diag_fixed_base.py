@@ -57,9 +57,13 @@ def main():
     # "signed14" / "signed15" / "signed16": the signed-digit comb at that
     # width through the stepped Pallas path (half-size table per window,
     # fewer windows at larger width)
+    # "lanesN": signed width-N comb with the pre-transposed-table gather
+    # (glue="lanes": entries on the lane axis, no per-step transpose)
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    signed = variant.startswith("signed")
-    cw = int(variant[6:]) if signed else ed.COMB_WIDTH
+    lanes = variant.startswith("lanes")
+    signed = variant.startswith("signed") or lanes
+    cw = (int(variant[5:]) if lanes
+          else int(variant[6:]) if signed else ed.COMB_WIDTH)
     nwin = (ed._fixed_base_table_signed(cw) if signed
             else ed._fixed_base_table(cw)).shape[0]
     rng = np.random.default_rng(0)
@@ -69,7 +73,8 @@ def main():
         comb = lambda w: ed._fixed_base_mul(w, cw)
     elif signed:
         from zerocaf_tpu.ops.pallas import field_kernels as fk
-        comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True)
+        g = "lanes" if lanes else "rows"
+        comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True, glue=g)
     else:
         from zerocaf_tpu.ops.pallas import field_kernels as fk
         pf = variant == "pallas_prefetch"

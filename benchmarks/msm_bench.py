@@ -42,9 +42,11 @@ def main():
     from zerocaf_tpu.parallel import msm
 
     n = 1 << args.log2n
-    if args.c == 0:
-        from zerocaf_tpu.parallel.msm import auto_c
-        args.c = auto_c(n)
+    # c=0 (default): let msm route -- dense VMEM kernel at auto_c_dense on
+    # TPU, sort+scan at auto_c otherwise.  The cross-check below always
+    # runs the OTHER implementation, so every bench run is also a
+    # dense-vs-scan bit-exactness gate.
+    c_arg = None if args.c == 0 else args.c
     key = jax.random.PRNGKey(42)
     k1, k2 = jax.random.split(key)
     print(json.dumps({"devices": [str(d) for d in jax.devices()], "n": n}),
@@ -59,7 +61,7 @@ def main():
     if args.verify_oracle:
         import zerocaf_tpu.oracle as o
         m = args.verify_oracle
-        got = msm(pts[:m], scalars[:m], c=args.c)
+        got = msm(pts[:m], scalars[:m], c=c_arg)
         ks = [int(v) for v in scalars[:m].to_ints()]
         pa = pts[:m].to_ints()
         exp = o.IDENTITY
@@ -70,27 +72,31 @@ def main():
                                 for c in got.to_ints()), exp)
         print(json.dumps({"oracle_verified_points": m}), flush=True)
 
-    def run(c):
-        out = msm(pts, scalars, c=c)
+    def run(c, **kw):
+        out = msm(pts, scalars, c=c, **kw)
         return bytes(np.asarray(z.RistrettoPoint(out).compress()).tolist())
 
-    # compile + consistency gate (two window widths must agree)
+    # compile + consistency gate: the production route vs the OTHER
+    # implementation (dense vs sort+scan) must agree bit-exactly
     t0 = time.perf_counter()
-    enc8 = run(args.c)
+    enc_main = run(c_arg)
     print(json.dumps({"first_run_s": round(time.perf_counter() - t0, 3)}),
           flush=True)
-    enc6 = run(6)
-    assert enc8 == enc6, "window-width cross-check failed"
-    print(json.dumps({"cross_check": "c=%d vs c=6 bit-exact" % args.c,
-                      "encoding": enc8.hex()}), flush=True)
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    enc_x = run(6, dense=False) if on_tpu else run(6)
+    assert enc_main == enc_x, "dense-vs-scan cross-check failed"
+    print(json.dumps({"cross_check": "scan c=6 bit-exact",
+                      "encoding": enc_main.hex()}), flush=True)
 
     ts = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        run(args.c)
+        run(c_arg)
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[len(ts) // 2]
-    print(json.dumps({"metric": "msm_wall_time", "points": n, "c": args.c,
+    print(json.dumps({"metric": "msm_wall_time", "points": n,
+                      "c": c_arg if c_arg is not None else "auto",
                       "wall_s": round(t, 4),
                       "points_per_s": round(n / t, 1),
                       "platform": jax.devices()[0].platform}), flush=True)

@@ -201,6 +201,10 @@ class TestSignedComb:
         got_pl = _compress(fk.fixed_base_mul_stepped(
             w, cw, interpret=True, signed=True))
         assert (np.asarray(got_pl) == np.asarray(ref)).all()
+        # pre-transposed-table gather (glue="lanes") is bit-identical
+        got_ln = _compress(fk.fixed_base_mul_stepped(
+            w, cw, interpret=True, signed=True, glue="lanes"))
+        assert (np.asarray(got_ln) == np.asarray(ref)).all()
 
     def test_signed_table_geometry(self):
         from zerocaf_tpu.models import edwards as ed

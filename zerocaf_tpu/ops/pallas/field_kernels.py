@@ -376,9 +376,10 @@ def _madd_affine_kernel(q_ref, e_ref, out_ref, *, c_limbs):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret", "prefetch",
-                                             "signed"))
+                                             "signed", "glue"))
 def fixed_base_mul_stepped(windows, width, interpret: bool = False,
-                           prefetch: bool = False, signed: bool = False):
+                           prefetch: bool = False, signed: bool = False,
+                           glue: str = "rows"):
     """Fixed-base comb multiplication with the 7M mixed adds fused in
     Pallas.  The per-window gather from the (shared, 2^width-entry) comb
     table stays in XLA -- per-lane gathers from large shared tables are
@@ -390,6 +391,13 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
     table (models/edwards._fixed_base_table_signed), applying the sign by
     the Niels swap/negate in the XLA glue; a signed width-15 comb covers
     250 bits in 17 mixed adds vs 20 for the unsigned width-13 comb.
+
+    glue="lanes" (signed only) stores the table PRE-TRANSPOSED as
+    [nwin, 3, 22, 2^(w-1)+1] so the per-step gather indexes the LAST
+    (lane) axis and lands directly in the kernel's [3, 22, n_pad] layout
+    -- no per-step lane<->sublane transpose of the 4-MB gathered entry
+    tensor (VERDICT r3 item 3: ~42% of the comb's ceiling was gather
+    glue).
 
     prefetch=True hoists ALL nwin gathers out of the scan into one batched
     take (flat index w * 2^width + digit) and pre-transposes the entries to
@@ -451,6 +459,24 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
             return madd(q, e), None
 
         qf, _ = jax.lax.scan(body, q0, ent)
+    elif signed and glue == "lanes":
+        tblT = jnp.asarray(
+            np.transpose(np.asarray(_edm._fixed_base_table_signed(width)),
+                         (0, 2, 3, 1)))               # [nwin, 3, 22, nbe]
+
+        def body(q, wd):
+            w_idx, d = wd
+            a = jnp.where(d < 0, -d, d)
+            ent = jnp.take(tblT[w_idx], a, axis=-1)  # [3, 22, n_pad]
+            neg = d < 0                              # [n_pad] -> bcast rows
+            e0 = jnp.where(neg, ent[1], ent[0])
+            e1 = jnp.where(neg, ent[0], ent[1])
+            e2 = jnp.where(neg, -ent[2], ent[2])
+            e = jnp.stack([e0, e1, e2], axis=0)      # [3, 22, n_pad]
+            e = jnp.pad(e, [(0, 0), (0, 32 - L), (0, 0)]).reshape(96, n_pad)
+            return madd(q, e), None
+
+        qf, _ = jax.lax.scan(body, q0, (jnp.arange(nwin), ds))
     elif signed:
         def body(q, wd):
             w_idx, d = wd

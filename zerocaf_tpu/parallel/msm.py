@@ -305,9 +305,17 @@ def _window_buckets_dense(pt_stack, dsigned, nb: int, interpret: bool = False):
     return tuple(cv[:, 0] for cv in v)
 
 
+@partial(jax.jit, static_argnames=("c", "nwin", "interpret"))
 def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
-    """Dense-kernel MSM body: per-window bucket kernel (python loop -- one
-    compiled graph reused across windows) + the shared combine."""
+    """Dense-kernel MSM body in ONE jitted graph: lax.scan over the window
+    axis with a single bucket-kernel + lane-reduction instance in the body
+    (one Mosaic kernel, one dispatch), then the window combine.
+
+    (Dispatching each window as its own jit call measured a ~5 ms fixed
+    cost per window on v5e -- dispatch and reduce tails -- which dominated
+    below 2^18; unrolling all nwin kernels into one graph instead wedged
+    the remote Mosaic compiler.  The scan form keeps the graph as small as
+    one window while paying the dispatch cost once.)"""
     from ..ops.pallas import msm_kernels as _mk
 
     nb = (1 << (c - 1)) + 1
@@ -317,10 +325,20 @@ def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
     n_pad = _mk.dense_pad(n)
     dsig = jnp.pad(dsig, [(0, n_pad - n), (0, 0)])
     pt_stack = _mk.prep_points(pt)
-    per_w = [_window_buckets_dense(pt_stack, dsig[:, w], nb,
-                                   interpret=interpret)
-             for w in range(nwin)]
-    tables = tuple(jnp.stack([pw[i] for pw in per_w]) for i in range(4))
+    dsig_w = jnp.moveaxis(dsig, -1, 0)  # [nwin, n_pad]
+
+    def body(_, dw):
+        return None, _window_buckets_dense(pt_stack, dw, nb,
+                                           interpret=interpret)
+
+    # One kernel instance + per-window lane reduce in the scan body.  Two
+    # rejected alternatives, both measured (benchmarks/results/
+    # msm_dense_r4.md): hoisting the lane reduce out of the scan and
+    # batching it over all windows through padd_tiled MISCOMPILES when the
+    # rounds fuse in one jit (bit-exact eagerly and per-round; diverges
+    # fused), and the same hoist through the XLA add is bit-exact but 3x
+    # slower than reducing in-scan (60 MB moveaxis transposes per round).
+    _, tables = jax.lax.scan(body, None, dsig_w)  # tuple of [nwin, nb, 22]
     return _combine_windows(tables, c, nb)
 
 
@@ -463,24 +481,31 @@ def msm(points: EdwardsPoint, scalars: Scalar, c: int | None = None,
 
 def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
                 c: int | None = None, axis: str = "data",
-                signed: bool = True) -> EdwardsPoint:
+                signed: bool = True, dense: bool = False) -> EdwardsPoint:
     """Mesh-sharded MSM: points/scalars sharded over `axis`, one partial
     point per device, all_gather + tree-reduce (bit-exact in any order).
 
-    N must be divisible by the mesh size."""
+    N must be divisible by the mesh size.  dense=True routes each device's
+    local Pippenger through the dense VMEM bucket kernel (TPU pods only --
+    Pallas inside shard_map; the CPU-mesh dryrun keeps the XLA scan path).
+    Per-device ICI payload either way: ONE extended point = 352 bytes
+    (docs/SCALING.md)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     if c is None:
-        c = auto_c(int(np.prod(points.shape)))
+        c = (auto_c_dense if dense else auto_c)(int(np.prod(points.shape)))
     nwin = -(-251 // c)  # see msm(): signed-carry coverage
     windows = scalars.windows(c, nwin)
     pt = points._tuple()
     comm = Communicator(axis)
 
     def local(pt_shard, win_shard):
-        partial_pt = _msm_local(pt_shard, win_shard, c=c, nwin=nwin,
-                                signed=signed)
+        if dense:
+            partial_pt = _msm_dense(pt_shard, win_shard, c, nwin)
+        else:
+            partial_pt = _msm_local(pt_shard, win_shard, c=c, nwin=nwin,
+                                    signed=signed)
         gathered = comm.all_gather_points(tuple(x[None] for x in partial_pt))
         gathered = tuple(g.reshape(-1, 22) for g in gathered)
         return _tree_reduce(gathered)

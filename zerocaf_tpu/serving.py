@@ -127,17 +127,42 @@ class Engine:
 
         Pinned-batch pipeline like keygen/dh: the batch axis must equal the
         engine batch (pad ragged traffic with `pad_msm` -- identity wire +
-        zero scalars contribute nothing to the sum).  Three cached jit
-        stages per window width c: donated decode, the per-window Pippenger
-        kernels (module-level jits, cached by (batch, c) shapes), and the
-        combine+encode -- steady-state calls re-trace nothing."""
-        from .parallel.msm import (_combine_windows, _window_buckets_signed,
-                                   auto_c, signed_digits)
+        zero scalars contribute nothing to the sum).
+
+        On TPU the aggregation runs through the dense VMEM bucket kernel
+        (parallel/msm._msm_dense, one jitted graph); otherwise three
+        cached jit stages per window width c: donated decode, the
+        per-window Pippenger kernels (module-level jits, cached by
+        (batch, c) shapes), and the combine+encode -- steady-state calls
+        re-trace nothing."""
+        from .parallel.msm import (_combine_windows, _msm_dense, _use_dense,
+                                   _window_buckets_signed, auto_c,
+                                   auto_c_dense, signed_digits)
 
         n = points_wire.shape[0]
         if n != self.batch:
             raise ValueError(
                 f"msm batch {n} != engine batch {self.batch}; pad with pad_msm")
+        if _use_dense(n, c, False, True, None):
+            cd = c if c is not None else auto_c_dense(n)
+            nwin_d = -(-251 // cd)
+
+            def build_decode_d():
+                def f(wire, sk):
+                    pts, okp = _ri._decompress(wire)
+                    s, _ = Scalar.from_bytes(sk)
+                    return pts, s.windows(cd, nwin_d), jnp.all(okp)
+                return (jax.jit(f, donate_argnums=(0, 1))
+                        if self._jit is not jax.jit else jax.jit(f))
+
+            def build_encode_d():
+                return jax.jit(lambda total: _ri._compress(total))
+
+            pts, win, ok = self._fn(f"msm_decode_dense_c{cd}",
+                                    build_decode_d)(points_wire, scalar32)
+            total = _msm_dense(pts, win, cd, nwin_d)
+            wire = self._fn("msm_encode_dense", build_encode_d)(total)
+            return wire, ok
         if c is None:
             c = auto_c(n)
         nwin = -(-251 // c)  # signed-carry coverage (parallel/msm.msm)
