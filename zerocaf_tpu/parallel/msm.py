@@ -76,9 +76,12 @@ def auto_c(n: int) -> int:
 def auto_c_dense(n: int) -> int:
     """Window width for the dense VMEM bucket kernel.  Unlike the scan
     path (whose per-window sort/scan overhead pushes c up), dense cost is
-    ~(2*(nb-1)*select + 1 padd) * ceil(251/c) per point: c=5/6 minimize it
-    on paper; c=6 fewer kernel passes (measured sweep in BASELINE.md r4)."""
-    return 6 if n > 1 << 12 else 5
+    ~(2*(nb-1)*select + 1 padd) * ceil(251/c) per point: c=5/6 minimize
+    it on paper, and c=6 measured faster than c=5 at every size swept
+    (2^14..2^18, v5e -- BASELINE.md r4: fewer kernel passes win over the
+    2x-smaller select loop).  c=7's accumulator would leave the safe VMEM
+    budget (MAX_DENSE_C)."""
+    return 6
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -443,8 +446,10 @@ def msm(points: EdwardsPoint, scalars: Scalar, c: int | None = None,
     """Single-device MSM: sum(k_i * P_i) (BASELINE.json config 3-4).
 
     On TPU the default is the DENSE VMEM bucket kernel (no sort, no
-    gather; ops/pallas/msm_kernels.py) at width auto_c_dense(n) -- measured
-    ~4x over the r3 scan path at 2^18+ (BASELINE.md round 4).  dense=False
+    gather; ops/pallas/msm_kernels.py) at width auto_c_dense(n) --
+    measured 5.1x/9.0x/12.6x over the r3 scan path at 2^16/2^18/2^20
+    (0.786 s for 2^20, ~the chip's full field-mul roofline; BASELINE.md
+    round 4).  dense=False
     (or an explicit c > MAX_DENSE_C, or CPU) takes the sort+scan path: one
     small jitted kernel per window plus one combine kernel.  fused=True
     uses the single-graph _msm_local (what shard_map traces).  c=None
