@@ -91,15 +91,16 @@ elif metric == "ladder":
     else:
         t = time_chain(lambda p: ed._scalar_mul(p, b), pt, 1)
 elif metric == "fixed_base":
-    # Measured fastest on v5e (benchmarks/diag_fixed_base.py): the SIGNED
-    # width-14 comb through the stepped Pallas kernel, 2.65M/s vs 2.57M
-    # unsigned w13, 2.38M signed w15, 2.35M XLA comb, 575k for the r2
-    # prefetch variant (the BENCH_r02 regression).
+    # Measured fastest on v5e (benchmarks/diag_fixed_base.py, r4): the
+    # SIGNED width-14 comb through the two-window PACKED kernel
+    # (glue="packed2"), 2.856M/s vs 2.830M one-window packed, 2.650M
+    # unpacked signed (r3 path), 2.57M unsigned w13, 2.254M lanes-gather.
     if jax.devices()[0].platform == "tpu":
         from zerocaf_tpu.ops.pallas import field_kernels as fk
         cw = ed.COMB_WIDTH_SIGNED
         nwin = ed._fixed_base_table_signed(cw).shape[0]
-        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True)
+        _comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True,
+                                                    glue="packed2")
     else:
         cw = ed.COMB_WIDTH
         nwin = ed._fixed_base_table(cw).shape[0]

@@ -61,9 +61,13 @@ def main():
     # (glue="lanes": entries on the lane axis, no per-step transpose)
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
     lanes = variant.startswith("lanes")
-    signed = variant.startswith("signed") or lanes
+    packed2 = variant.startswith("packed2_")
+    packed = variant.startswith("packed") and not packed2
+    signed = variant.startswith("signed") or lanes or packed or packed2
     cw = (int(variant[5:]) if lanes
-          else int(variant[6:]) if signed else ed.COMB_WIDTH)
+          else int(variant[8:]) if packed2
+          else int(variant[6:]) if packed or variant.startswith("signed")
+          else ed.COMB_WIDTH)
     nwin = (ed._fixed_base_table_signed(cw) if signed
             else ed._fixed_base_table(cw)).shape[0]
     rng = np.random.default_rng(0)
@@ -73,7 +77,8 @@ def main():
         comb = lambda w: ed._fixed_base_mul(w, cw)
     elif signed:
         from zerocaf_tpu.ops.pallas import field_kernels as fk
-        g = "lanes" if lanes else "rows"
+        g = ("lanes" if lanes else "packed2" if packed2
+             else "packed" if packed else "rows")
         comb = lambda w: fk.fixed_base_mul_stepped(w, cw, signed=True, glue=g)
     else:
         from zerocaf_tpu.ops.pallas import field_kernels as fk

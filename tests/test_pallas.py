@@ -205,6 +205,34 @@ class TestSignedComb:
         got_ln = _compress(fk.fixed_base_mul_stepped(
             w, cw, interpret=True, signed=True, glue="lanes"))
         assert (np.asarray(got_ln) == np.asarray(ref)).all()
+        # packed-limb gather (glue="packed": 2 limbs/int32, in-kernel
+        # unpack + sign select) is bit-identical
+        got_pk = _compress(fk.fixed_base_mul_stepped(
+            w, cw, interpret=True, signed=True, glue="packed"))
+        assert (np.asarray(got_pk) == np.asarray(ref)).all()
+        # two-windows-per-step packed kernel (glue="packed2"; cw=8 gives
+        # nwin=32, even -- also check an odd-window width below)
+        got_p2 = _compress(fk.fixed_base_mul_stepped(
+            w, cw, interpret=True, signed=True, glue="packed2"))
+        assert (np.asarray(got_p2) == np.asarray(ref)).all()
+
+    def test_packed2_odd_windows(self):
+        """glue=packed2 with an odd window count (width 9 -> 28 windows?
+        width giving odd nwin: 250/width): width 9 -> ceil(250/9)=28
+        (even); width 11 -> 23 windows (odd) exercises the pad window."""
+        from zerocaf_tpu import Scalar
+        from zerocaf_tpu.models import edwards as ed
+        from zerocaf_tpu.models.ristretto import _compress
+
+        cw = 11
+        nwin = ed._fixed_base_table_signed(cw).shape[0]
+        assert nwin % 2 == 1
+        ks = [int.from_bytes(rng.bytes(32), "little") % o.R for _ in range(8)]
+        w = Scalar.from_int(ks).windows(cw, nwin)
+        ref = _compress(ed._fixed_base_mul(w, cw))
+        got = _compress(fk.fixed_base_mul_stepped(
+            w, cw, interpret=True, signed=True, glue="packed2"))
+        assert (np.asarray(got) == np.asarray(ref)).all()
 
     def test_signed_table_geometry(self):
         from zerocaf_tpu.models import edwards as ed

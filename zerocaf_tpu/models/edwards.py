@@ -504,14 +504,18 @@ class EdwardsPoint:
         generalizes window_naf_mul + BASEPOINT_ODD_MULTIPLES_TABLE,
         edwards.rs:155-171).
 
-        Production TPU path: the SIGNED width-14 comb through the stepped
-        Pallas kernel (18 mixed adds, half-size-per-window table), measured
-        fastest on v5e at batch 16k: 2.65M mults/s vs 2.57M unsigned w13,
-        2.38M signed w15, 2.35M XLA comb, 575k for the r2 prefetch variant
-        (benchmarks/diag_fixed_base.py).  Applies only when `width` is
-        omitted (None); ANY explicit width -- including 13 -- keeps the
-        unsigned comb at that width and its caller-visible table.  CPU and
-        use_fused=False take the XLA comb."""
+        Production TPU path (r4): the SIGNED width-14 comb through the
+        TWO-WINDOW PACKED Pallas kernel (glue="packed2": table limbs
+        packed 2-per-int32 to halve the gather+transpose glue, two mixed
+        adds per kernel step to halve the Q round-trips) -- measured
+        2.856M mults/s on v5e at batch 16k vs 2.830M one-window packed,
+        2.855M packed w15, 2.650M unpacked signed w14 (the r3 path),
+        2.254M lanes-gather, 2.57M unsigned w13
+        (benchmarks/diag_fixed_base.py, BASELINE.md r4).  Applies only
+        when `width` is omitted (None); ANY explicit width -- including
+        13 -- keeps the unsigned comb at that width and its
+        caller-visible table.  CPU and use_fused=False take the XLA
+        comb."""
         if use_fused is None:
             from ..config import DEFAULT as _cfg
             use_fused = _cfg.use_pallas and jax.default_backend() == "tpu"
@@ -521,7 +525,8 @@ class EdwardsPoint:
                 sw = COMB_WIDTH_SIGNED
                 windows = scalar.windows(sw, -(-250 // sw))
                 return cls(*_fk.fixed_base_mul_stepped(windows, sw,
-                                                       signed=True))
+                                                       signed=True,
+                                                       glue="packed2"))
             windows = scalar.windows(width, -(-250 // width))
             return cls(*_fk.fixed_base_mul_stepped(windows, width))
         if width is None:

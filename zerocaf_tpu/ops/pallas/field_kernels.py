@@ -375,6 +375,63 @@ def _madd_affine_kernel(q_ref, e_ref, out_ref, *, c_limbs):
         out_ref[lo + L:lo + 32] = zpad
 
 
+def _madd_packed_core(Q, e_ref, base, c_limbs):
+    """One mixed affine-Niels add from packed entry rows at `base`:
+    coord j's 22 limbs as 11 int32s (limb i | limb (i+11) << 12) at rows
+    base+j*16 .. +11; rows base+48:56 = sign mask replicated over 8
+    sublanes (nonzero = negate: Niels swap + 2dxy negation in-kernel, so
+    the sign never touches packed ints)."""
+    X1, Y1, Z1, T1 = Q
+
+    def unpack(r0):
+        v = e_ref[base + r0:base + r0 + 11]
+        return jnp.concatenate([v & MASK, v >> W], axis=0)
+
+    ep = unpack(0)
+    em = unpack(16)
+    et = unpack(32)
+    s8 = e_ref[base + 48:base + 56]
+    s22 = jnp.concatenate([s8, s8, s8[: L - 16]], axis=0) != 0
+    E0 = jnp.where(s22, em, ep)
+    E1 = jnp.where(s22, ep, em)
+    E2 = jnp.where(s22, -et, et)
+    PP = _mulb(Y1 + X1, E0, c_limbs)
+    MM = _mulb(Y1 - X1, E1, c_limbs)
+    TT = _mulb(T1, E2, c_limbs)
+    Z2 = Z1 + Z1
+    E = _c1(PP - MM)
+    F = _c1(Z2 - TT)
+    G = _c1(Z2 + TT)
+    H = PP + MM
+    return (_mulb(E, F, c_limbs), _mulb(G, H, c_limbs),
+            _mulb(F, G, c_limbs), _mulb(E, H, c_limbs))
+
+
+def _madd_affine_packed_kernel(q_ref, e_ref, out_ref, *, c_limbs):
+    """One packed mixed add per step (glue="packed"): halves the per-step
+    XLA gather + transpose volume -- the measured comb bottleneck
+    (BASELINE.md r4)."""
+    Q = tuple(q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    R = _madd_packed_core(Q, e_ref, 0, c_limbs)
+    zpad = jnp.zeros((32 - L,) + R[0].shape[1:], jnp.int32)
+    for j, lo in enumerate((0, 32, 64, 96)):
+        out_ref[lo:lo + L] = R[j]
+        out_ref[lo + L:lo + 32] = zpad
+
+
+def _madd2_affine_packed_kernel(q_ref, e_ref, out_ref, *, c_limbs):
+    """TWO packed mixed adds per step (glue="packed2"): entry A at rows
+    0:56, entry B at rows 64:120 of e_ref.  Halves the scan length and
+    the Q-state HBM round-trips on top of the packed-gather saving."""
+    Q = tuple(q_ref[lo:lo + L] for lo in (0, 32, 64, 96))
+    Q = _madd_packed_core(Q, e_ref, 0, c_limbs)
+    R = _madd_packed_core(Q, e_ref, 64, c_limbs)
+    zpad = jnp.zeros((32 - L,) + R[0].shape[1:], jnp.int32)
+    for j, lo in enumerate((0, 32, 64, 96)):
+        out_ref[lo:lo + L] = R[j]
+        out_ref[lo + L:lo + 32] = zpad
+
+
 @functools.partial(jax.jit, static_argnames=("width", "interpret", "prefetch",
                                              "signed", "glue"))
 def fixed_base_mul_stepped(windows, width, interpret: bool = False,
@@ -459,6 +516,84 @@ def fixed_base_mul_stepped(windows, width, interpret: bool = False,
             return madd(q, e), None
 
         qf, _ = jax.lax.scan(body, q0, ent)
+    elif signed and glue == "packed2":
+        tnp = np.asarray(_edm._fixed_base_table_signed(width)).astype(np.int64)
+        packed = (tnp[..., :11] | (tnp[..., 11:] << W)).astype(np.int32)
+        npairs = (nwin + 1) // 2
+        if nwin % 2:
+            # pad with a copy of window 0: its digits are forced to 0
+            # below, and entry 0 of every window is the Niels identity
+            packed = np.concatenate([packed, packed[:1]], axis=0)
+        tblP = jnp.asarray(packed)               # [2*npairs, nbe, 3, 11]
+        dsp = ds                                  # [nwin, n_pad]
+        if nwin % 2:
+            dsp = jnp.concatenate(
+                [dsp, jnp.zeros((1, n_pad), dsp.dtype)], axis=0)
+        dsp = dsp.reshape(npairs, 2, n_pad)
+        madd2 = pl.pallas_call(
+            functools.partial(_madd2_affine_packed_kernel, c_limbs=cl),
+            out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+            grid=(n_pad // B,),
+            in_specs=[
+                pl.BlockSpec((128, B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((128, B), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+        def pack_half(w_idx, d):
+            a = jnp.where(d < 0, -d, d)
+            ent = jnp.take(tblP[w_idx], a, axis=0)   # [n_pad, 3, 11]
+            ent = ent.transpose(1, 2, 0)             # [3, 11, n_pad]
+            ent = jnp.pad(ent, [(0, 0), (0, 5), (0, 0)]).reshape(48, n_pad)
+            sg = jnp.broadcast_to((d < 0)[None, :], (8, n_pad))
+            return jnp.concatenate(
+                [ent, sg.astype(jnp.int32),
+                 jnp.zeros((8, n_pad), jnp.int32)], axis=0)  # [64, n_pad]
+
+        def body(q, wd):
+            p_idx, d2 = wd
+            e = jnp.concatenate([pack_half(2 * p_idx, d2[0]),
+                                 pack_half(2 * p_idx + 1, d2[1])], axis=0)
+            return madd2(q, e), None
+
+        qf, _ = jax.lax.scan(body, q0, (jnp.arange(npairs), dsp))
+    elif signed and glue == "packed":
+        tnp = np.asarray(_edm._fixed_base_table_signed(width)).astype(np.int64)
+        packed = (tnp[..., :11] | (tnp[..., 11:] << W)).astype(np.int32)
+        tblP = jnp.asarray(packed)               # [nwin, nbe, 3, 11]
+        madd_p = pl.pallas_call(
+            functools.partial(_madd_affine_packed_kernel, c_limbs=cl),
+            out_shape=jax.ShapeDtypeStruct((128, n_pad), jnp.int32),
+            grid=(n_pad // B,),
+            in_specs=[
+                pl.BlockSpec((128, B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((128, B), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+        def body(q, wd):
+            w_idx, d = wd
+            a = jnp.where(d < 0, -d, d)
+            ent = jnp.take(tblP[w_idx], a, axis=0)   # [n_pad, 3, 11]
+            ent = ent.transpose(1, 2, 0)             # [3, 11, n_pad]
+            ent = jnp.pad(ent, [(0, 0), (0, 5), (0, 0)]).reshape(48, n_pad)
+            sg = jnp.broadcast_to((d < 0)[None, :], (8, n_pad))
+            e = jnp.concatenate(
+                [ent, sg.astype(jnp.int32),
+                 jnp.zeros((8, n_pad), jnp.int32)], axis=0)  # [64, n_pad]
+            return madd_p(q, e), None
+
+        qf, _ = jax.lax.scan(body, q0, (jnp.arange(nwin), ds))
     elif signed and glue == "lanes":
         tblT = jnp.asarray(
             np.transpose(np.asarray(_edm._fixed_base_table_signed(width)),
