@@ -167,13 +167,13 @@ def main():
     # 250-bit oblivious ladder per scalar-bit class
     paired_probe("ladder",
                  lambda st, cls: ed._scalar_mul(st, cls)[0],
-                 pt, scalar_classes(), iters=1, unit="us")
+                 pt, scalar_classes(), iters=2, unit="us")
 
     # field mul per operand class (class is the varying operand)
     ys = jnp.asarray(field_classes()["random"])
     paired_probe("field_mul",
                  lambda st, cls: l.mul(cls, st, l.FIELD),
-                 ys, field_classes(), iters=256, unit="ns")
+                 ys, field_classes(), iters=2048, unit="ns")
 
     # production signed-digit Pallas ladder (mul_windowed TPU default)
     if jax.devices()[0].platform == "tpu":
@@ -189,7 +189,7 @@ def main():
         paired_probe("windowed_signed_pallas",
                      lambda st, cls: fk.scalar_mul_windowed_signed(
                          st, cls, 4)[0],
-                     pt, wclasses, iters=2, unit="us")
+                     pt, wclasses, iters=4, unit="us")
 
 
 if __name__ == "__main__":
