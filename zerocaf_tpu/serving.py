@@ -55,10 +55,14 @@ class Engine:
     """Pinned-batch serving engine.
 
     batch:    the compiled lane count (pad ragged requests with pad_batch).
+              Default 32768: the measured v5e sweet spot across every
+              pipeline (r4 sweep -- dh 127.7k/143.2k/142.4k ops/s and
+              keygen 281k/353k/223k at 16k/32k/64k; 64k lanes regress on
+              HBM pressure).
     donate:   donate input device buffers (steady-state zero-alloc).
     """
 
-    def __init__(self, batch: int = 16384, donate: bool = True):
+    def __init__(self, batch: int = 32768, donate: bool = True):
         self.batch = batch
         self._jit = partial(jax.jit, donate_argnums=(0,)) if donate else jax.jit
         self._fns: dict[str, callable] = {}
