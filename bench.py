@@ -226,7 +226,15 @@ def main() -> None:
 
     # --- MFU attribution (the 10^7 north-star gap, made auditable) -------
     # Field-mul-equivalents per op for each path (squarings counted as
-    # muls; selects/adds/carries excluded -- this is a MUL-roofline model):
+    # muls; selects/adds/carries excluded -- this is a MUL-roofline model).
+    # Values ABOVE 1.0 are real and expected for square-heavy fused paths:
+    # the denominator is the STANDALONE mul kernel's rate, while in-kernel
+    # squarings cost ~0.7x a mul and fused chains reuse loaded operands
+    # (r2 measured ~1.41 ns/mul-equiv inside ladders vs 1.77 ns lone).
+    # What matters is the ORDERING: paths well below 1.0 still leave
+    # glue/overhead on the table (r4: fixed_base ~0.6 = comb gather glue;
+    # msm at 2^16 ~0.33 = the 0.095 s window-combine fixed term, ~1.0 at
+    # 2^20 where it amortizes -- BASELINE.md r4).
     #   windowed w4:  63 windows x (3 dbl@7M + 1 dbl@8M + madd@8M) = 2331
     #                 + table build 7 x 10M + 8 Niels converts      ~ 2409
     #   ladder w1:    250 x (dbl@8M + madd@8M)                      = 4000
