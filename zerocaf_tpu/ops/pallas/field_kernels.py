@@ -897,7 +897,12 @@ def scalar_mul_windowed_signed(pt, windows, width: int = 4,
     return tuple(unprep(lo) for lo in (0, 32, 64, 96))
 
 
-WIN_LANES = 256  # lane block for the fused ladder (VMEM: tables + temps)
+# Lane block for the stepped/fused ladders (VMEM: tables + temps).
+# Env-overridable for A/B sweeps (benchmarks/diag_windowed.py); 256 is
+# the measured default on v5e (r4 sweep in BASELINE.md).
+import os as _os
+
+WIN_LANES = int(_os.environ.get("ZEROCAF_WIN_LANES", "256"))
 
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret"))
