@@ -58,6 +58,22 @@ class TestShardedMSM:
             out = msm_sharded(pts_s, sc_s, mesh, c=8)
             assert o.point_eq(tuple(int(v) for v in out.to_ints()), expect), nd
 
+    def test_window_sharded_combine(self):
+        """shard_combine=True (each device combines nwin/D windows; the
+        docs/SCALING.md Amdahl fix) is bit-exact vs the replicated
+        combine at every mesh size, incl. nwin not divisible by D
+        (c=8 -> nwin=32; c=6 -> nwin=42, not divisible by 4 or 8)."""
+        pts, scalars, pts_o, ks = make_inputs(32, seed=13)
+        expect = o.msm(pts_o, ks)
+        for nd, c in ((2, 8), (4, 6), (8, 6)):
+            mesh = make_mesh(MeshConfig(n_devices=nd))
+            sh = batch_sharding(mesh)
+            pts_s = EdwardsPoint(*(jax.device_put(v, sh) for v in pts._tuple()))
+            sc_s = Scalar(jax.device_put(scalars.limbs, sh))
+            out = msm_sharded(pts_s, sc_s, mesh, c=c, shard_combine=True)
+            assert o.point_eq(tuple(int(v) for v in out.to_ints()),
+                              expect), (nd, c)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):

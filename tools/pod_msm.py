@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dense", action="store_true",
                     help="dense VMEM bucket kernel per device (TPU pods)")
+    ap.add_argument("--shard-combine", action="store_true",
+                    help="window-sharded combine (docs/SCALING.md D>=4 fix)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--coordinator", default=None,
                     help="host:port of process 0 (multi-host)")
@@ -99,7 +101,8 @@ def main():
         sh = batch_sharding(mesh)
         pts_s = EdwardsPoint(*(jax.device_put(co, sh) for co in pts._tuple()))
         sc_s = Scalar(jax.device_put(scalars.limbs, sh))
-        out = msm_sharded(pts_s, sc_s, mesh, c=c, dense=args.dense)  # compile
+        out = msm_sharded(pts_s, sc_s, mesh, c=c, dense=args.dense,
+                          shard_combine=args.shard_combine)  # compile
         enc = bytes(np.asarray(RistrettoPoint(out).compress()).tolist())
         if ref_enc is None:
             ref_enc = enc
@@ -107,7 +110,8 @@ def main():
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = msm_sharded(pts_s, sc_s, mesh, c=c, dense=args.dense)
+            out = msm_sharded(pts_s, sc_s, mesh, c=c, dense=args.dense,
+                              shard_combine=args.shard_combine)
             jax.block_until_ready(out.X)
             ts.append(time.perf_counter() - t0)
         t = sorted(ts)[len(ts) // 2]

@@ -225,14 +225,8 @@ def _tree_reduce(points):
     return tuple(c[0] for c in points)
 
 
-@partial(jax.jit, static_argnames=("c", "nwin", "signed"))
-def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32,
-               signed: bool = True):
-    """Local Pippenger over one shard.
-
-    pt: point pytree, coords [N, 22]; windows: [N, nwin] int32 unsigned
-    digits (recoded to signed form in-graph when signed=True, which halves
-    the bucket count).  Returns a single point pytree ([22] coords)."""
+def _msm_local_tables(pt, windows, c: int, nwin: int, signed: bool):
+    """Scan-path bucket tables for one shard: tuple of [nwin, nb, 22]."""
     if signed:
         mag, sgn = signed_digits(windows, c)
         nbuckets = (1 << (c - 1)) + 1
@@ -246,7 +240,19 @@ def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32,
             return _bucket_table(pt, windows[:, w], nbuckets)
 
     # [nwin, nbuckets, 22] bucket tables, all windows batched
-    tables = jax.vmap(one_window, out_axes=0)(jnp.arange(nwin))
+    return jax.vmap(one_window, out_axes=0)(jnp.arange(nwin))
+
+
+@partial(jax.jit, static_argnames=("c", "nwin", "signed"))
+def _msm_local(pt, windows, c: int = DEFAULT_C, nwin: int = 32,
+               signed: bool = True):
+    """Local Pippenger over one shard.
+
+    pt: point pytree, coords [N, 22]; windows: [N, nwin] int32 unsigned
+    digits (recoded to signed form in-graph when signed=True, which halves
+    the bucket count).  Returns a single point pytree ([22] coords)."""
+    nbuckets = (1 << (c - 1)) + 1 if signed else 1 << c
+    tables = _msm_local_tables(pt, windows, c, nwin, signed)
     # log-depth bucket combine + Horner (see _combine_windows)
     return _combine_windows(tables, c, nbuckets)
 
@@ -308,17 +314,22 @@ def _window_buckets_dense(pt_stack, dsigned, nb: int, interpret: bool = False):
     return tuple(cv[:, 0] for cv in v)
 
 
-@partial(jax.jit, static_argnames=("c", "nwin", "interpret"))
-def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
-    """Dense-kernel MSM body in ONE jitted graph: lax.scan over the window
-    axis with a single bucket-kernel + lane-reduction instance in the body
-    (one Mosaic kernel, one dispatch), then the window combine.
+def _msm_dense_tables(pt, windows, c: int, nwin: int,
+                      interpret: bool = False):
+    """Dense-kernel bucket tables: lax.scan over the window axis with a
+    single bucket-kernel + lane-reduction instance in the body (one
+    Mosaic kernel, one dispatch).  Returns tuple of [nwin, nb, 22].
 
     (Dispatching each window as its own jit call measured a ~5 ms fixed
     cost per window on v5e -- dispatch and reduce tails -- which dominated
     below 2^18; unrolling all nwin kernels into one graph instead wedged
     the remote Mosaic compiler.  The scan form keeps the graph as small as
-    one window while paying the dispatch cost once.)"""
+    one window while paying the dispatch cost once.  Two rejected
+    alternatives for the lane reduce, both measured in benchmarks/
+    results/msm_dense_r4.md: hoisting it out of the scan and batching
+    over all windows through padd_tiled MISCOMPILES when the rounds fuse
+    in one jit, and the same hoist through the XLA add is bit-exact but
+    3x slower than reducing in-scan.)"""
     from ..ops.pallas import msm_kernels as _mk
 
     nb = (1 << (c - 1)) + 1
@@ -334,14 +345,16 @@ def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
         return None, _window_buckets_dense(pt_stack, dw, nb,
                                            interpret=interpret)
 
-    # One kernel instance + per-window lane reduce in the scan body.  Two
-    # rejected alternatives, both measured (benchmarks/results/
-    # msm_dense_r4.md): hoisting the lane reduce out of the scan and
-    # batching it over all windows through padd_tiled MISCOMPILES when the
-    # rounds fuse in one jit (bit-exact eagerly and per-round; diverges
-    # fused), and the same hoist through the XLA add is bit-exact but 3x
-    # slower than reducing in-scan (60 MB moveaxis transposes per round).
-    _, tables = jax.lax.scan(body, None, dsig_w)  # tuple of [nwin, nb, 22]
+    _, tables = jax.lax.scan(body, None, dsig_w)
+    return tables
+
+
+@partial(jax.jit, static_argnames=("c", "nwin", "interpret"))
+def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
+    """Dense-kernel MSM body in ONE jitted graph: bucket tables (scan over
+    windows, see _msm_dense_tables) + the window combine."""
+    nb = (1 << (c - 1)) + 1
+    tables = _msm_dense_tables(pt, windows, c, nwin, interpret=interpret)
     return _combine_windows(tables, c, nb)
 
 
@@ -372,9 +385,8 @@ def _ident_fill(like, rows):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("c", "nbuckets"))
-def _combine_windows(tables, c: int, nbuckets: int):
-    """Bucket combine + Horner merge, batched over windows.
+def _bucket_totals(tables, nbuckets: int):
+    """Per-window bucket totals: tot_w = sum_b b * S_b, log-depth.
 
     The classic descending running sum (W = sum_b b*S_b via acc/tot) is a
     2*(nbuckets-1)-step SEQUENTIAL scan -- latency-bound on TPU and
@@ -383,8 +395,7 @@ def _combine_windows(tables, c: int, nbuckets: int):
     of S over the bucket axis (Hillis-Steele, log2 rounds of full-width
     batched adds) followed by a pairwise tree reduction.
 
-    tables: tuple of [nwin, nbuckets, 22] arrays."""
-    nwin = tables[0].shape[0]
+    tables: tuple of [nwin, nbuckets, 22] arrays -> tuple of [nwin, 22]."""
     m = nbuckets - 1
     S = tuple(t[:, 1:] for t in tables)  # buckets 1..nb-1
 
@@ -409,17 +420,31 @@ def _combine_windows(tables, c: int, nbuckets: int):
                            for mc, t in zip(merged, S))
         S = merged
         m = S[0].shape[1]
-    tot = tuple(t[:, 0] for t in S)  # [nwin, 22]
+    return tuple(t[:, 0] for t in S)  # [nwin, 22]
+
+
+def _horner(tot, c: int, stride: int = 1):
+    """T = sum_w (2^(c*stride))^w * tot_w over the leading window axis
+    (MSB-first Horner: c*stride doublings per step)."""
+    nwin = tot[0].shape[0]
 
     def horner_step(T, w_rev):
-        for i in range(c):
-            T = _ed._double(T, with_t=(i == c - 1))
+        for i in range(c * stride):
+            T = _ed._double(T, with_t=(i == c * stride - 1))
         Ww = tuple(t[w_rev] for t in tot)
         return _ed._add(T, Ww), None
 
     ident1 = _ed._identity_like(tuple(t[0] for t in tot))
     T, _ = jax.lax.scan(horner_step, ident1, jnp.arange(nwin - 1, -1, -1))
     return T
+
+
+@partial(jax.jit, static_argnames=("c", "nbuckets"))
+def _combine_windows(tables, c: int, nbuckets: int):
+    """Bucket combine + Horner merge, batched over windows.
+
+    tables: tuple of [nwin, nbuckets, 22] arrays."""
+    return _horner(_bucket_totals(tables, nbuckets), c)
 
 
 def _use_dense(n: int, c, fused: bool, signed: bool,
@@ -484,33 +509,95 @@ def msm(points: EdwardsPoint, scalars: Scalar, c: int | None = None,
     return EdwardsPoint(*_combine_windows(tables, c, nbuckets))
 
 
+def _sharded_combine(tables, c: int, nbuckets: int, comm: Communicator,
+                     ndev: int):
+    """Window-sharded bucket combine (the Amdahl fix for wide meshes,
+    docs/SCALING.md): instead of every device combining ALL nwin windows
+    of its LOCAL tables, devices all_gather the per-device tables
+    (~nwin * nb * 352 B, still KB-scale over ICI), EC-sum them per
+    window, and each device combines only the windows w with
+    w % ndev == axis_index():
+
+        total = sum_d 2^(c*d) * Horner_{stride=ndev}(tot_{d::ndev})
+
+    The final 2^(c*d) weighting runs a FIXED c*(ndev-1) doubling chain
+    with a capture-select at step c*d (shard_map traces one program for
+    all devices -- no data-dependent trip counts).  Returns this device's
+    weighted partial ([22] coords); caller gathers + tree-reduces."""
+    nwin = tables[0].shape[0]
+    k = -(-nwin // ndev)
+    pad = k * ndev - nwin
+    if pad:
+        # padded windows hold all-identity tables: their bucket total is
+        # the identity and contributes nothing at any weight
+        fill = []
+        for l0 in (0, 1, 1, 0):
+            z = jnp.zeros((pad, nbuckets, 22), jnp.int32)
+            if l0:
+                z = z.at[..., 0].set(1)
+            fill.append(z)
+        tables = tuple(jnp.concatenate([t, f], axis=0)
+                       for t, f in zip(tables, fill))
+    g = comm.all_gather_points(tuple(t[None] for t in tables))
+    # [ndev, k*ndev, nb, 22] -> this device's window subset, summed over
+    # devices (exact integer EC math: any order is bit-exact)
+    my = comm.axis_index()
+    idx = my + ndev * jnp.arange(k)
+    sub = tuple(jnp.take(t.reshape(ndev, k * ndev, nbuckets, 22), idx,
+                         axis=1) for t in g)
+    loc = _tree_reduce(sub)                      # [k, nb, 22]
+    tot = _bucket_totals(loc, nbuckets)          # [k, 22]
+    H = _horner(tot, c, stride=ndev)             # sum_j 2^(c*ndev*j) tot_j
+    out = H
+    S = H
+    for j in range(1, c * (ndev - 1) + 1):
+        S = _ed._double(S)
+        out = _ed._select(jnp.equal(c * my, j), S, out)
+    return out
+
+
 def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
                 c: int | None = None, axis: str = "data",
-                signed: bool = True, dense: bool = False) -> EdwardsPoint:
+                signed: bool = True, dense: bool = False,
+                shard_combine: bool = False) -> EdwardsPoint:
     """Mesh-sharded MSM: points/scalars sharded over `axis`, one partial
     point per device, all_gather + tree-reduce (bit-exact in any order).
 
     N must be divisible by the mesh size.  dense=True routes each device's
     local Pippenger through the dense VMEM bucket kernel (TPU pods only --
     Pallas inside shard_map; the CPU-mesh dryrun keeps the XLA scan path).
-    Per-device ICI payload either way: ONE extended point = 352 bytes
-    (docs/SCALING.md)."""
+    shard_combine=True splits the window combine across devices
+    (_sharded_combine) -- divides the per-device fixed term by the mesh
+    size for an extra ~nwin*nb*352 B all_gather (docs/SCALING.md's D >= 4
+    efficiency fix).  Per-device ICI payload otherwise: ONE extended
+    point = 352 bytes."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     if c is None:
         c = (auto_c_dense if dense else auto_c)(int(np.prod(points.shape)))
     nwin = -(-251 // c)  # see msm(): signed-carry coverage
+    nbuckets = (1 << (c - 1)) + 1 if signed else 1 << c
+    ndev = int(np.prod(mesh.devices.shape))
     windows = scalars.windows(c, nwin)
     pt = points._tuple()
     comm = Communicator(axis)
 
     def local(pt_shard, win_shard):
         if dense:
-            partial_pt = _msm_dense(pt_shard, win_shard, c, nwin)
+            if shard_combine:
+                tables = _msm_dense_tables(pt_shard, win_shard, c, nwin)
+            else:
+                tables = None
+                partial_pt = _msm_dense(pt_shard, win_shard, c, nwin)
+        elif shard_combine:
+            tables = _msm_local_tables(pt_shard, win_shard, c, nwin, signed)
         else:
+            tables = None
             partial_pt = _msm_local(pt_shard, win_shard, c=c, nwin=nwin,
                                     signed=signed)
+        if tables is not None:
+            partial_pt = _sharded_combine(tables, c, nbuckets, comm, ndev)
         gathered = comm.all_gather_points(tuple(x[None] for x in partial_pt))
         gathered = tuple(g.reshape(-1, 22) for g in gathered)
         return _tree_reduce(gathered)
