@@ -583,13 +583,18 @@ def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
     pt = points._tuple()
     comm = Communicator(axis)
 
+    # dense off-TPU (the CPU-mesh dryrun) runs the kernel interpreted
+    interp = jax.default_backend() != "tpu"
+
     def local(pt_shard, win_shard):
         if dense:
             if shard_combine:
-                tables = _msm_dense_tables(pt_shard, win_shard, c, nwin)
+                tables = _msm_dense_tables(pt_shard, win_shard, c, nwin,
+                                           interpret=interp)
             else:
                 tables = None
-                partial_pt = _msm_dense(pt_shard, win_shard, c, nwin)
+                partial_pt = _msm_dense(pt_shard, win_shard, c, nwin,
+                                        interpret=interp)
         elif shard_combine:
             tables = _msm_local_tables(pt_shard, win_shard, c, nwin, signed)
         else:
