@@ -139,7 +139,12 @@ elif metric == "ristretto_encode":
 elif metric == "msm":
     from zerocaf_tpu.parallel import msm as _msm
     from zerocaf_tpu import EdwardsPoint, Scalar
-    n = int(os.environ.get("BENCH_MSM_N", 1 << 16))
+    # flagship scale by default (BASELINE config 4/5): the dense kernel
+    # runs 2^20 in ~0.8 s on v5e, so the full-size number is affordable;
+    # CPU CI overrides with a small BENCH_MSM_N
+    n = int(os.environ.get("BENCH_MSM_N",
+                           1 << 20 if jax.devices()[0].platform == "tpu"
+                           else 1 << 16))
     key = jax.random.PRNGKey(7)
     k1, k2 = jax.random.split(key)
     pts = EdwardsPoint.basepoint_mul(Scalar.random(k1, (n,)))
@@ -233,8 +238,8 @@ def main() -> None:
     # (r2 measured ~1.41 ns/mul-equiv inside ladders vs 1.77 ns lone).
     # What matters is the ORDERING: paths well below 1.0 still leave
     # glue/overhead on the table (r4: fixed_base ~0.6 = comb gather glue;
-    # msm at 2^16 ~0.33 = the 0.095 s window-combine fixed term, ~1.0 at
-    # 2^20 where it amortizes -- BASELINE.md r4).
+    # msm ~0.94 at its default 2^20 scale, where the 0.095 s fixed term
+    # mostly amortizes -- BASELINE.md r4).
     #   windowed w4:  63 windows x (3 dbl@7M + 1 dbl@8M + madd@8M) = 2331
     #                 + table build 7 x 10M + 8 Niels converts      ~ 2409
     #   ladder w1:    250 x (dbl@8M + madd@8M)                      = 4000

@@ -74,6 +74,21 @@ class TestShardedMSM:
             assert o.point_eq(tuple(int(v) for v in out.to_ints()),
                               expect), (nd, c)
 
+    def test_dense_shard_combine_pod_config(self):
+        """The full pod configuration -- dense VMEM bucket kernel
+        (interpret-mode off-TPU) + window-sharded combine -- on a
+        2-device mesh vs the oracle.  ~2-3 min on the CI host (the
+        interpret-mode kernel dominates); this is the one test covering
+        exactly what tools/pod_msm.py --dense --shard-combine runs."""
+        pts, scalars, pts_o, ks = make_inputs(24, seed=21)
+        expect = o.msm(pts_o, ks)
+        mesh = make_mesh(MeshConfig(n_devices=2))
+        sh = batch_sharding(mesh)
+        pts_s = EdwardsPoint(*(jax.device_put(v, sh) for v in pts._tuple()))
+        sc_s = Scalar(jax.device_put(scalars.limbs, sh))
+        out = msm_sharded(pts_s, sc_s, mesh, dense=True, shard_combine=True)
+        assert o.point_eq(tuple(int(v) for v in out.to_ints()), expect)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):

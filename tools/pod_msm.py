@@ -14,6 +14,8 @@ then, the same script validates the full path on one host:
     # virtual 8-device CPU mesh (what CI runs; see tests/conftest.py)
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/pod_msm.py --cpu --log2n 14
+    # --dense off-TPU runs the kernel INTERPRETED: practical only at tiny
+    # sizes (the 2-device pod config is CI-covered in tests/test_sharding)
 
 Flow: distributed init (multi-process only) -> global (hosts*chips) mesh
 -> shard points/scalars over the batch axis -> msm_sharded (local
