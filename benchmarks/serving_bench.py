@@ -33,7 +33,7 @@ import numpy as np
 
 from zerocaf_tpu.serving import Engine
 
-BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+BATCH = int(os.environ.get("BENCH_BATCH", 32768))  # Engine's default batch
 REPS = int(os.environ.get("BENCH_REPS", 8))
 
 
@@ -49,6 +49,25 @@ def steady_rate(call, fresh_input, reps=REPS):
         np.asarray(jax.tree_util.tree_leaves(out)[0])  # full completion
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
+
+
+def pipelined_rate(call, fresh_input, reps=REPS, depth=2):
+    """Per-call wall time with `depth` calls in flight: dispatch of call
+    i+1 overlaps the device execution + readback of call i (the realistic
+    deployment shape -- jax dispatch is async; only the lagged readback
+    blocks).  The sequential `steady_rate` above remains the conservative
+    number; this measures the pipelined ceiling."""
+    out = call(fresh_input(0))
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + sync
+    pending = []
+    t0 = time.perf_counter()
+    for i in range(reps):
+        pending.append(call(fresh_input(i + 1)))
+        if len(pending) >= depth:
+            np.asarray(jax.tree_util.tree_leaves(pending.pop(0))[0])
+    for p in pending:
+        np.asarray(jax.tree_util.tree_leaves(p)[0])
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -69,6 +88,9 @@ def main():
     t = steady_rate(lambda x: eng.dh(*x),
                     lambda i: (jnp.asarray(sk_h), jnp.asarray(pk_h)))
     out["dh_ops_per_sec"] = round(BATCH / t, 1)
+    t = pipelined_rate(lambda x: eng.dh(*x),
+                       lambda i: (jnp.asarray(sk_h), jnp.asarray(pk_h)))
+    out["dh_pipelined_ops_per_sec"] = round(BATCH / t, 1)
 
     uni = [jnp.asarray(rng.integers(0, 256, (BATCH, 64), dtype=np.uint8))
            for _ in range(REPS + 2)]
