@@ -3,7 +3,8 @@
 small N, then a (c, N) wall-time sweep of the dense kernel.
 
 Usage: python benchmarks/diag_msm_dense.py [log2n ...] (default: 14)
-Env: DIAG_CS="5,6" window widths to sweep.
+Env: DIAG_CS="5,6" window widths to sweep; DIAG_PAIRED=1 routes the
+paired-window (2 tables/pass) kernel variant.
 """
 
 import json
@@ -24,6 +25,17 @@ import numpy as np
 import zerocaf_tpu as z
 from zerocaf_tpu import EdwardsPoint, RistrettoPoint, Scalar
 from zerocaf_tpu.parallel import msm as msm_fn
+import importlib
+M = importlib.import_module("zerocaf_tpu.parallel.msm")
+PAIRED = bool(os.environ.get("DIAG_PAIRED"))
+
+
+def run_msm(pts, sc, c):
+    if PAIRED:
+        nwin = -(-251 // c)
+        return EdwardsPoint(*M._msm_dense(
+            pts._tuple(), sc.windows(c, nwin), c, nwin, paired=True))
+    return msm_fn(pts, sc, c=c, dense=True)
 
 
 def enc(p):
@@ -47,7 +59,7 @@ def main():
           flush=True)
     for c in cs:
         t0 = time.perf_counter()
-        e_dense = enc(msm_fn(pts, sc, c=c, dense=True))
+        e_dense = enc(run_msm(pts, sc, c))
         ok = e_dense == e_scan
         print(json.dumps({"dense_c": c, "n": n0, "bit_exact_vs_scan": ok,
                           "first_run_s": round(time.perf_counter() - t0, 2)}),
@@ -62,7 +74,7 @@ def main():
         jax.block_until_ready(pts.X)
         for c in cs:
             def run():
-                out = msm_fn(pts, sc, c=c, dense=True)
+                out = run_msm(pts, sc, c)
                 np.asarray(out.X[0])
                 return out
             t0 = time.perf_counter()
@@ -74,7 +86,8 @@ def main():
                 run()
                 ts.append(time.perf_counter() - t0)
             t = sorted(ts)[len(ts) // 2]
-            print(json.dumps({"n": n, "c": c, "wall_s": round(t, 4),
+            print(json.dumps({"n": n, "c": c, "paired": PAIRED,
+                              "wall_s": round(t, 4),
                               "points_per_s": round(n / t, 1),
                               "first_s": round(first, 2)}), flush=True)
 

@@ -59,40 +59,22 @@ def dense_pad(n: int) -> int:
     return -(-n // DENSE_LANES) * DENSE_LANES
 
 
-def _bucket_kernel(pt_ref, dig_ref, out_ref, *, c_limbs, d_limbs, nb):
-    """One grid step: fold DENSE_LANES points into the per-lane tables.
-
-    pt_ref:  [128, B] int32 -- rows 0:22 X, 32:54 Y, 64:86 Z, 96:118 T
-    dig_ref: [8, B] int32 -- signed digit in [-(nb-1), nb-1], replicated
-             over 8 sublanes (mask source, like the ladder kernels)
-    out_ref: [nb*4*PITCH, B] -- the resident bucket table."""
-    i = pl.program_id(0)
-    Bsh = (PITCH,) + pt_ref.shape[1:]
-    zero = jnp.zeros(Bsh, jnp.int32)
-    one = (jax.lax.broadcasted_iota(jnp.int32, Bsh, 0) == 0).astype(jnp.int32)
-
-    @pl.when(i == 0)
-    def _init():
-        for k in range(nb):
-            for j, v in enumerate((zero, one, one, zero)):  # identity
-                r = (k * 4 + j) * PITCH
-                out_ref[r:r + PITCH] = v
-
-    X = pt_ref[0:L]
-    Y = pt_ref[32:32 + L]
-    Z = pt_ref[64:64 + L]
-    T = pt_ref[96:96 + L]
-    d8 = dig_ref[0:8]
+def _accum_one(out_ref, base, P, d8, c_limbs, d_limbs, nb):
+    """Fold each lane's point P into bucket |digit| of the table half at
+    sublane offset `base` (entry k coord j at rows base + (k*4+j)*PITCH).
+    Signed digit: negate (X, T) -- plain limb negation; the carry algebra
+    is sign-exact (arithmetic >> plus & MASK), precedent
+    _step_kernel_signed."""
+    X, Y, Z, T = P
     d22 = jnp.concatenate([d8, d8, d8[: L - 16]], axis=0)
     a22 = jnp.where(d22 < 0, -d22, d22)
     s22 = d22 < 0
-    # signed digit: negate (X, T) -- plain limb negation; the carry algebra
-    # is sign-exact (arithmetic >> plus & MASK), precedent _step_kernel_signed
     Xe = jnp.where(s22, -X, X)
     Te = jnp.where(s22, -T, T)
 
     def ent(k):
-        return tuple(out_ref[(k * 4 + j) * PITCH:(k * 4 + j) * PITCH + L]
+        r0 = base + k * 4 * PITCH
+        return tuple(out_ref[r0 + j * PITCH:r0 + j * PITCH + L]
                      for j in range(4))
 
     e = ent(1)
@@ -103,8 +85,50 @@ def _bucket_kernel(pt_ref, dig_ref, out_ref, *, c_limbs, d_limbs, nb):
     for k in range(1, nb):
         m = a22 == k
         for j in range(4):
-            r = (k * 4 + j) * PITCH
+            r = base + (k * 4 + j) * PITCH
             out_ref[r:r + L] = jnp.where(m, R[j], out_ref[r:r + L])
+
+
+def _init_tables(out_ref, i, halves, nb, shape):
+    zero = jnp.zeros(shape, jnp.int32)
+    one = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) == 0).astype(
+        jnp.int32)
+
+    @pl.when(i == 0)
+    def _init():
+        for h in range(halves):
+            for k in range(nb):
+                for j, v in enumerate((zero, one, one, zero)):  # identity
+                    r = (h * nb + k) * 4 * PITCH + j * PITCH
+                    out_ref[r:r + PITCH] = v
+
+
+def _bucket_kernel(pt_ref, dig_ref, out_ref, *, c_limbs, d_limbs, nb):
+    """One grid step: fold DENSE_LANES points into the per-lane tables.
+
+    pt_ref:  [128, B] int32 -- rows 0:22 X, 32:54 Y, 64:86 Z, 96:118 T
+    dig_ref: [8, B] int32 -- signed digit in [-(nb-1), nb-1], replicated
+             over 8 sublanes (mask source, like the ladder kernels)
+    out_ref: [nb*4*PITCH, B] -- the resident bucket table."""
+    i = pl.program_id(0)
+    _init_tables(out_ref, i, 1, nb, (PITCH,) + pt_ref.shape[1:])
+    P = (pt_ref[0:L], pt_ref[32:32 + L], pt_ref[64:64 + L],
+         pt_ref[96:96 + L])
+    _accum_one(out_ref, 0, P, dig_ref[0:8], c_limbs, d_limbs, nb)
+
+
+def _bucket2_kernel(pt_ref, dig_ref, out_ref, *, c_limbs, d_limbs, nb):
+    """TWO windows per pass (half the outer-scan iterations; same VMEM at
+    half the lane width): dig_ref rows 0:8 = window A digits, 8:16 =
+    window B; out_ref holds both tables ([2*nb*4*PITCH, B], window h's
+    entry k coord j at rows (h*nb + k)*4*PITCH + j*PITCH)."""
+    i = pl.program_id(0)
+    _init_tables(out_ref, i, 2, nb, (PITCH,) + pt_ref.shape[1:])
+    P = (pt_ref[0:L], pt_ref[32:32 + L], pt_ref[64:64 + L],
+         pt_ref[96:96 + L])
+    _accum_one(out_ref, 0, P, dig_ref[0:8], c_limbs, d_limbs, nb)
+    _accum_one(out_ref, nb * 4 * PITCH, P, dig_ref[8:16], c_limbs,
+               d_limbs, nb)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
@@ -134,14 +158,51 @@ def bucket_accum(pt_stack, dig8, nb: int, interpret: bool = False):
     )(pt_stack, dig8)
 
 
-@jax.jit
-def prep_points(pt):
-    """4-tuple of [N, 22] coords -> [128, dense_pad(N)] stacked layout
+PAIR_LANES = 256  # lane width of the paired (2-window) accumulator
+
+
+def pair_pad(n: int) -> int:
+    return -(-n // PAIR_LANES) * PAIR_LANES
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def bucket_accum2(pt_stack, dig16, nb: int, interpret: bool = False):
+    """Paired-window bucket accumulation: dig16 [16, n_pad] carries two
+    windows' signed digits (rows 0:8 / 8:16); returns the
+    [2*nb*4*PITCH, PAIR_LANES] resident tables (window h's entry k coord
+    j at rows (h*nb+k)*4*PITCH + j*PITCH)."""
+    n_pad = pt_stack.shape[1]
+    cl = tuple(int(v) for v in FIELD.fold_c_limbs)
+    dl = tuple(int(v) for v in np.asarray(C.EDWARDS_D_LIMBS))
+    return pl.pallas_call(
+        functools.partial(_bucket2_kernel, c_limbs=cl, d_limbs=dl, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((2 * nb * 4 * PITCH, PAIR_LANES),
+                                       jnp.int32),
+        grid=(n_pad // PAIR_LANES,),
+        in_specs=[
+            pl.BlockSpec((128, PAIR_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, PAIR_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * nb * 4 * PITCH, PAIR_LANES),
+                               lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pt_stack, dig16)
+
+
+def prep_points_to(pt, n_pad):
+    """4-tuple of [N, 22] coords -> [128, n_pad] stacked layout
     (identity-padded tail lanes never matter: their digits are 0)."""
     n = pt[0].shape[0]
-    n_pad = dense_pad(n)
     cols = []
     for c in pt:
         c2 = jnp.pad(c, [(0, n_pad - n), (0, 0)])
         cols.append(jnp.pad(c2.T, [(0, 32 - L), (0, 0)]))
     return jnp.concatenate(cols, axis=0)
+
+
+@jax.jit
+def prep_points(pt):
+    """4-tuple of [N, 22] coords -> [128, dense_pad(N)] stacked layout."""
+    return prep_points_to(pt, dense_pad(pt[0].shape[0]))

@@ -349,12 +349,64 @@ def _msm_dense_tables(pt, windows, c: int, nwin: int,
     return tables
 
 
-@partial(jax.jit, static_argnames=("c", "nwin", "interpret"))
-def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False):
-    """Dense-kernel MSM body in ONE jitted graph: bucket tables (scan over
-    windows, see _msm_dense_tables) + the window combine."""
+def _msm_dense_tables_paired(pt, windows, c: int, nwin: int,
+                             interpret: bool = False):
+    """Paired-window variant of _msm_dense_tables: the scan walks WINDOW
+    PAIRS with the 2-table kernel (ops/pallas/msm_kernels.bucket_accum2),
+    halving the outer-scan iterations and their per-iteration reduce
+    tails (the measured ~79 ms fixed-term share, BASELINE.md r4).  Odd
+    nwin pads with a zero-digit window whose table stays all-identity."""
+    from ..ops.pallas import msm_kernels as _mk
+
     nb = (1 << (c - 1)) + 1
-    tables = _msm_dense_tables(pt, windows, c, nwin, interpret=interpret)
+    mag, sgn = signed_digits(windows, c)
+    dsig = jnp.where(sgn, -mag, mag)  # [N, nwin]
+    n = dsig.shape[0]
+    n_pad = _mk.pair_pad(n)
+    dsig = jnp.pad(dsig, [(0, n_pad - n), (0, 0)])
+    pt_stack = _mk.prep_points_to(pt, n_pad)
+    npairs = (nwin + 1) // 2
+    dsig_w = jnp.moveaxis(dsig, -1, 0)  # [nwin, n_pad]
+    if nwin % 2:
+        dsig_w = jnp.concatenate(
+            [dsig_w, jnp.zeros((1, n_pad), dsig_w.dtype)], axis=0)
+    dsig_p = dsig_w.reshape(npairs, 2, n_pad)
+
+    def body(_, dpair):
+        d16 = jnp.concatenate(
+            [jnp.broadcast_to(dpair[0][None], (8, n_pad)),
+             jnp.broadcast_to(dpair[1][None], (8, n_pad))], axis=0)
+        tbl = _mk.bucket_accum2(pt_stack, d16, nb, interpret=interpret)
+        arr = tbl.reshape(2 * nb, 4, _mk.PITCH, _mk.PAIR_LANES)[:, :, :22]
+        v = tuple(jnp.moveaxis(arr[:, j], -1, 1) for j in range(4))
+        w = _mk.PAIR_LANES
+        while w > 1:
+            half = w // 2
+            a = tuple(cv[:, :half] for cv in v)
+            b = tuple(cv[:, half:w] for cv in v)
+            v = _padd(a, b)
+            w = half
+        return None, tuple(cv[:, 0].reshape(2, nb, 22) for cv in v)
+
+    _, tabs = jax.lax.scan(body, None, dsig_p)  # [npairs, 2, nb, 22]
+    return tuple(t.reshape(npairs * 2, nb, 22)[:nwin] for t in tabs)
+
+
+@partial(jax.jit, static_argnames=("c", "nwin", "interpret", "paired"))
+def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False,
+               paired: bool = True):
+    """Dense-kernel MSM body in ONE jitted graph: bucket tables (scan over
+    windows) + the window combine.  paired=True (production default, r4
+    measured: 2^16 0.1153 s vs 0.1375, 2^18 0.245 vs 0.269 -- the
+    fixed-term tails drop 95 -> 72 ms) walks window PAIRS with the
+    2-table kernel; paired=False keeps the one-window scan
+    (_msm_dense_tables)."""
+    nb = (1 << (c - 1)) + 1
+    if paired:
+        tables = _msm_dense_tables_paired(pt, windows, c, nwin,
+                                          interpret=interpret)
+    else:
+        tables = _msm_dense_tables(pt, windows, c, nwin, interpret=interpret)
     return _combine_windows(tables, c, nb)
 
 
