@@ -641,8 +641,8 @@ def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
     def local(pt_shard, win_shard):
         if dense:
             if shard_combine:
-                tables = _msm_dense_tables(pt_shard, win_shard, c, nwin,
-                                           interpret=interp)
+                tables = _msm_dense_tables_paired(pt_shard, win_shard, c,
+                                                  nwin, interpret=interp)
             else:
                 tables = None
                 partial_pt = _msm_dense(pt_shard, win_shard, c, nwin,
