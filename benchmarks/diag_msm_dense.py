@@ -3,8 +3,10 @@
 small N, then a (c, N) wall-time sweep of the dense kernel.
 
 Usage: python benchmarks/diag_msm_dense.py [log2n ...] (default: 14)
-Env: DIAG_CS="5,6" window widths to sweep; DIAG_PAIRED=1 routes the
-paired-window (2 tables/pass) kernel variant.
+Env: DIAG_CS="5,6" window widths to sweep; DIAG_K=<k> routes the
+k-window grouped kernel explicitly (k=2 paired, k=1 single-window;
+default: the production msm() routing, i.e. DENSE_K); DIAG_PR=<r>
+sets the lane-reduce pallas_rounds (grouped path only).
 """
 
 import json
@@ -27,14 +29,18 @@ from zerocaf_tpu import EdwardsPoint, RistrettoPoint, Scalar
 from zerocaf_tpu.parallel import msm as msm_fn
 import importlib
 M = importlib.import_module("zerocaf_tpu.parallel.msm")
-PAIRED = bool(os.environ.get("DIAG_PAIRED"))
+K = int(os.environ["DIAG_K"]) if os.environ.get("DIAG_K") else None
+PR = int(os.environ.get("DIAG_PR", "1"))
+FOLD = int(os.environ.get("DIAG_FOLD", str(M.DENSE_FOLD)))
 
 
 def run_msm(pts, sc, c):
-    if PAIRED:
+    if K is not None:
         nwin = -(-251 // c)
+        kw = {"fold": FOLD} if K >= 3 else {}
         return EdwardsPoint(*M._msm_dense(
-            pts._tuple(), sc.windows(c, nwin), c, nwin, paired=True))
+            pts._tuple(), sc.windows(c, nwin), c, nwin, k=K,
+            pallas_rounds=PR, **kw))
     return msm_fn(pts, sc, c=c, dense=True)
 
 
@@ -86,7 +92,7 @@ def main():
                 run()
                 ts.append(time.perf_counter() - t0)
             t = sorted(ts)[len(ts) // 2]
-            print(json.dumps({"n": n, "c": c, "paired": PAIRED,
+            print(json.dumps({"n": n, "c": c, "k": K, "pr": PR, "fold": FOLD,
                               "wall_s": round(t, 4),
                               "points_per_s": round(n / t, 1),
                               "first_s": round(first, 2)}), flush=True)

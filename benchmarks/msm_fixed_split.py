@@ -55,13 +55,18 @@ def main():
     pt = pts._tuple()
     jax.block_until_ready(pt[0])
 
-    tables_only = jax.jit(
-        lambda p, w: M._msm_dense_tables(p, w, c, nwin),
-        static_argnums=())
+    k = int(os.environ.get("SPLIT_K", str(M.DENSE_K)))
+    if k >= 3:
+        tab_fn = lambda p, w: M._msm_dense_tables_k(p, w, c, nwin, k=k)
+    elif k == 2:
+        tab_fn = lambda p, w: M._msm_dense_tables_paired(p, w, c, nwin)
+    else:
+        tab_fn = lambda p, w: M._msm_dense_tables(p, w, c, nwin)
+    tables_only = jax.jit(tab_fn)
     t_tab = timeit(lambda: tables_only(pt, windows))
-    t_full = timeit(lambda: M._msm_dense(pt, windows, c, nwin))
+    t_full = timeit(lambda: M._msm_dense(pt, windows, c, nwin, k=k))
     print(json.dumps({
-        "n": n, "c": c, "nwin": nwin,
+        "n": n, "c": c, "nwin": nwin, "k": k,
         "platform": jax.devices()[0].platform,
         "tables_only_s": round(t_tab, 4),
         "full_s": round(t_full, 4),

@@ -51,22 +51,18 @@ def steady_rate(call, fresh_input, reps=REPS):
     return sorted(ts)[len(ts) // 2]
 
 
-def pipelined_rate(call, fresh_input, reps=REPS, depth=2):
-    """Per-call wall time with `depth` calls in flight: dispatch of call
-    i+1 overlaps the device execution + readback of call i (the realistic
-    deployment shape -- jax dispatch is async; only the lagged readback
-    blocks).  The sequential `steady_rate` above remains the conservative
-    number; this measures the pipelined ceiling."""
-    out = call(fresh_input(0))
-    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + sync
-    pending = []
+def pipelined_rate(pipe, fresh_input, reps=REPS):
+    """Per-call wall time through the PUBLIC Engine.pipeline API (r5:
+    the double-buffered path is a product capability, not a bench
+    construct): dispatch of call i+1 overlaps the device execution +
+    full-wire readback of call i.  The sequential `steady_rate` above
+    remains the conservative number."""
+    pipe.submit(*fresh_input(0))
+    pipe.drain()  # warm + sync
     t0 = time.perf_counter()
     for i in range(reps):
-        pending.append(call(fresh_input(i + 1)))
-        if len(pending) >= depth:
-            np.asarray(jax.tree_util.tree_leaves(pending.pop(0))[0])
-    for p in pending:
-        np.asarray(jax.tree_util.tree_leaves(p)[0])
+        pipe.submit(*fresh_input(i + 1))
+    pipe.drain()
     return (time.perf_counter() - t0) / reps
 
 
@@ -88,7 +84,7 @@ def main():
     t = steady_rate(lambda x: eng.dh(*x),
                     lambda i: (jnp.asarray(sk_h), jnp.asarray(pk_h)))
     out["dh_ops_per_sec"] = round(BATCH / t, 1)
-    t = pipelined_rate(lambda x: eng.dh(*x),
+    t = pipelined_rate(eng.pipeline("dh", depth=2),
                        lambda i: (jnp.asarray(sk_h), jnp.asarray(pk_h)))
     out["dh_pipelined_ops_per_sec"] = round(BATCH / t, 1)
 

@@ -74,20 +74,23 @@ class TestDenseBuckets:
         got = tuple(int(v) for v in total.to_ints())
         assert o.point_eq(got, expect)
 
-    def test_dense_paired_matches(self):
-        """Paired-window kernel (2 tables/pass) == one-window dense, for
-        both an odd window count (c=5 -> 51, exercises the zero-digit pad
-        window) and an even one (c=6 -> 42)."""
+    def test_dense_kernel_variants_match(self):
+        """Grouped K-window kernel (production DENSE_K) == paired (k=2) ==
+        one-window (k=1) dense, for both an odd window count (c=5 -> 51,
+        exercises the zero-digit pad windows) and an even one (c=6 -> 42)."""
         from zerocaf_tpu.parallel.msm import _msm_dense
         pts, scalars, _, _ = make_inputs(300)
         for c in (5, 6):
             nwin = -(-251 // c)
             windows = scalars.windows(c, nwin)
             a = EdwardsPoint(*_msm_dense(pts._tuple(), windows, c, nwin,
-                                         interpret=True))
+                                         interpret=True))  # k=DENSE_K
             b = EdwardsPoint(*_msm_dense(pts._tuple(), windows, c, nwin,
-                                         interpret=True, paired=True))
+                                         interpret=True, k=2))
+            d = EdwardsPoint(*_msm_dense(pts._tuple(), windows, c, nwin,
+                                         interpret=True, k=1))
             assert bool(np.asarray(a.eq(b))), c
+            assert bool(np.asarray(a.eq(d))), c
 
     def test_dense_edge_scalars(self):
         from zerocaf_tpu.parallel.msm import _msm_dense

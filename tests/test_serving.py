@@ -67,6 +67,68 @@ def test_msm_pipeline():
     assert np.asarray(wire).tobytes() == o.ristretto_compress(acc)
 
 
+def test_pipeline_overlap_correctness():
+    """Engine.pipeline (double-buffered serving, VERDICT r4 item 4):
+    results come back in submission order, bit-identical to sequential
+    calls, with never more than `depth` batches in flight."""
+    eng = Engine(batch=4, donate=False)
+    inputs = [rng.integers(0, 256, (4, 64), dtype=np.uint8)
+              for _ in range(5)]
+    seq = [np.asarray(eng.hash_to_group(jnp.asarray(b))) for b in inputs]
+
+    pipe = eng.pipeline("hash_to_group", depth=2)
+    got = []
+    for i, b in enumerate(inputs):
+        done = pipe.submit(jnp.asarray(b))
+        assert len(pipe) <= 2
+        assert (done is None) == (i < 2)  # fills to depth before yielding
+        if done is not None:
+            got.append(done)
+    got.extend(pipe.drain())
+    assert len(pipe) == 0 and len(got) == 5
+    for a, b in zip(got, seq):
+        assert (a == b).all()
+
+
+def test_pipeline_map_and_validation():
+    import pytest
+
+    eng = Engine(batch=2, donate=False)
+    with pytest.raises(ValueError):
+        eng.pipeline("keygen", depth=0)
+    pipe = eng.pipeline("keygen", depth=2)
+    with pytest.raises(RuntimeError):
+        pipe.collect()  # nothing submitted
+
+    ins = [rng.integers(0, 256, (2, 64), dtype=np.uint8) for _ in range(3)]
+    seq = [tuple(np.asarray(x) for x in eng.keygen(jnp.asarray(b)))
+           for b in ins]
+    outs = list(pipe.map((jnp.asarray(b),) for b in ins))
+    assert len(outs) == 3
+    for (sk_a, pk_a), (sk_b, pk_b) in zip(outs, seq):
+        assert (sk_a == sk_b).all() and (pk_a == pk_b).all()
+
+
+def test_msm_dense_branch_interpret():
+    """Engine.msm's production TPU branch (dense VMEM bucket kernel),
+    forced off-TPU via dense=True -> interpret mode: the fast CI coverage
+    for serving.py's dense route (VERDICT r4 items 7/8)."""
+    eng = Engine(batch=8, donate=False)
+    seeds = rng.integers(0, 256, (8, 64), dtype=np.uint8)
+    sk, pk = eng.keygen(jnp.asarray(seeds))
+    sc = rng.integers(0, 256, (8, 32), dtype=np.uint8)
+    sc[:, 31] &= 0x03
+    wire_d, ok_d = eng.msm(pk, jnp.asarray(sc), c=4, dense=True)
+    assert bool(ok_d)
+    acc = o.IDENTITY
+    for i in range(8):
+        k_i = int.from_bytes(seeds[i].tobytes(), "little") % o.R
+        s_i = int.from_bytes(sc[i].tobytes(), "little") % o.R
+        acc = o.point_add(acc, o.scalar_mul(o.BASEPOINT, k_i * s_i % o.R))
+    assert np.asarray(wire_d).tobytes() == o.ristretto_compress(acc)
+    assert "msm_decode_dense_c4" in eng.compiled()
+
+
 def test_pad_batch():
     a = np.ones((3, 32), np.uint8)
     p, n = pad_batch(a, 8)

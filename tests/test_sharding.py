@@ -74,6 +74,28 @@ class TestShardedMSM:
             assert o.point_eq(tuple(int(v) for v in out.to_ints()),
                               expect), (nd, c)
 
+    def test_dense_sharded_replicated_combine(self):
+        """msm_sharded(dense=True) WITHOUT shard_combine (each device runs
+        the dense kernel then combines all windows locally) at trivial
+        size -- fast off-TPU regression coverage for the dense sharded
+        route (VERDICT r4 item 8).  c=4 keeps the interpret-mode kernel
+        small (nb=9)."""
+        pts, scalars, pts_o, ks = make_inputs(16, seed=31)
+        expect = o.msm(pts_o, ks)
+        mesh = make_mesh(MeshConfig(n_devices=2))
+        sh = batch_sharding(mesh)
+        pts_s = EdwardsPoint(*(jax.device_put(v, sh) for v in pts._tuple()))
+        sc_s = Scalar(jax.device_put(scalars.limbs, sh))
+        out = msm_sharded(pts_s, sc_s, mesh, c=4, dense=True)
+        assert o.point_eq(tuple(int(v) for v in out.to_ints()), expect)
+
+    def test_dense_sharded_rejects_unsigned(self):
+        import pytest
+        pts, scalars, _, _ = make_inputs(16, seed=32)
+        mesh = make_mesh(MeshConfig(n_devices=2))
+        with pytest.raises(ValueError, match="signed"):
+            msm_sharded(pts, scalars, mesh, c=4, dense=True, signed=False)
+
     def test_dense_shard_combine_pod_config(self):
         """The full pod configuration -- dense VMEM bucket kernel
         (interpret-mode off-TPU) + window-sharded combine -- on a

@@ -93,18 +93,30 @@ def signed_digits(windows: jnp.ndarray, c: int):
     negative.  Halves the Pippenger bucket count: bucket tables index |d|
     and the point is conditionally negated instead.  The carry out of the
     top window is always zero for canonical scalars (value < 2^250 <=
-    2^(c * nwin) / 2)."""
+    2^(c * nwin) / 2).
+
+    The carry recurrence flip_w = g_w | (p_w & flip_{w-1}) -- with
+    g = (digit > half) "generates" and p = (digit == half) "propagates",
+    exactly carry-lookahead addition -- runs as a log-depth
+    associative_scan over the window axis.  The r4 sequential lax.scan
+    form cost ~30 ms of pure step latency per MSM on v5e (N-independent;
+    the single largest fixed-term component after the r5 kernel fixes)."""
     half = 1 << (c - 1)
-    w_t = jnp.moveaxis(windows, -1, 0)  # [nwin, ...]
+    g = windows > half
+    p = windows == half
 
-    def step(carry, w):
-        d = w + carry
-        flip = d > half
-        d = jnp.where(flip, d - (half * 2), d)
-        return flip.astype(jnp.int32), d
+    def comb(a, b):
+        ga, pa = a
+        gb, pb = b
+        return gb | (pb & ga), pa & pb
 
-    _, ds = jax.lax.scan(step, jnp.zeros_like(w_t[0]), w_t)
-    ds = jnp.moveaxis(ds, 0, -1)
+    flips, _ = jax.lax.associative_scan((lambda a, b: comb(a, b)), (g, p),
+                                        axis=-1)
+    carry = jnp.concatenate(
+        [jnp.zeros_like(flips[..., :1]), flips[..., :-1]],
+        axis=-1).astype(windows.dtype)
+    d = windows + carry
+    ds = jnp.where(d > half, d - 2 * half, d)
     return jnp.abs(ds), ds < 0
 
 
@@ -291,6 +303,28 @@ def _bucket_table(pt, digits, nbuckets: int, sign=None):
     return _padd(scatter(excl), scatter(p_sorted))
 
 
+def _lane_reduce(v, pallas_rounds: int = 1):
+    """Tree-reduce the lane axis (axis 1) of [E, W, 22] coord tuples down
+    to [E, 22].
+
+    At most `pallas_rounds` leading rounds may route through padd_tiled;
+    every later round forces the XLA add: two or more chained padd_tiled
+    calls through moveaxis/slice glue inside one jit MISCOMPILE on v5e
+    (benchmarks/results/msm_dense_r4.md; the r4 paired path at c=6 ran
+    rounds 1-2 both >= _PALLAS_MIN_LANES and relied on the bench-time
+    bit-exactness gate -- ADVICE r4)."""
+    w = v[0].shape[1]
+    r = 0
+    while w > 1:
+        half = w // 2
+        a = tuple(cv[:, :half] for cv in v)
+        b = tuple(cv[:, half:w] for cv in v)
+        v = (_padd if r < pallas_rounds else _ed._add)(a, b)
+        r += 1
+        w = half
+    return tuple(cv[:, 0] for cv in v)
+
+
 @partial(jax.jit, static_argnames=("nb", "interpret"))
 def _window_buckets_dense(pt_stack, dsigned, nb: int, interpret: bool = False):
     """One Pippenger window via the dense VMEM bucket kernel: no sort, no
@@ -304,14 +338,7 @@ def _window_buckets_dense(pt_stack, dsigned, nb: int, interpret: bool = False):
     tbl = _mk.bucket_accum(pt_stack, dig8, nb, interpret=interpret)
     arr = tbl.reshape(nb, 4, _mk.PITCH, _mk.DENSE_LANES)[:, :, :22]
     v = tuple(jnp.moveaxis(arr[:, j], -1, 1) for j in range(4))  # [nb, B, 22]
-    w = _mk.DENSE_LANES
-    while w > 1:
-        half = w // 2
-        a = tuple(cv[:, :half] for cv in v)
-        b = tuple(cv[:, half:w] for cv in v)
-        v = _padd(a, b)
-        w = half
-    return tuple(cv[:, 0] for cv in v)
+    return _lane_reduce(v)
 
 
 def _msm_dense_tables(pt, windows, c: int, nwin: int,
@@ -379,34 +406,147 @@ def _msm_dense_tables_paired(pt, windows, c: int, nwin: int,
         tbl = _mk.bucket_accum2(pt_stack, d16, nb, interpret=interpret)
         arr = tbl.reshape(2 * nb, 4, _mk.PITCH, _mk.PAIR_LANES)[:, :, :22]
         v = tuple(jnp.moveaxis(arr[:, j], -1, 1) for j in range(4))
-        w = _mk.PAIR_LANES
-        while w > 1:
-            half = w // 2
-            a = tuple(cv[:, :half] for cv in v)
-            b = tuple(cv[:, half:w] for cv in v)
-            v = _padd(a, b)
-            w = half
-        return None, tuple(cv[:, 0].reshape(2, nb, 22) for cv in v)
+        red = _lane_reduce(v)
+        return None, tuple(cv.reshape(2, nb, 22) for cv in red)
 
     _, tabs = jax.lax.scan(body, None, dsig_p)  # [npairs, 2, nb, 22]
     return tuple(t.reshape(npairs * 2, nb, 22)[:nwin] for t in tabs)
 
 
-@partial(jax.jit, static_argnames=("c", "nwin", "interpret", "paired"))
-def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False,
-               paired: bool = True):
-    """Dense-kernel MSM body in ONE jitted graph: bucket tables (scan over
-    windows) + the window combine.  paired=True (production default, r4
-    measured: 2^16 0.1153 s vs 0.1375, 2^18 0.245 vs 0.269 -- the
-    fixed-term tails drop 95 -> 72 ms) walks window PAIRS with the
-    2-table kernel; paired=False keeps the one-window scan
-    (_msm_dense_tables)."""
+# Production window-group size for the dense kernel: K windows' tables per
+# kernel pass at 128 lanes.  K=4 is the VMEM ceiling for the single-call
+# 2D-grid form (Mosaic double-buffers the revisited output block across
+# group transitions: 2 x K*nb*4*PITCH*4B*128 must stay under ~16 MB;
+# K=6 fits the scan form's single-buffered block but OOMs here).  K only
+# sets the group count -- per-point work is K-independent -- so the
+# smaller K costs just extra point re-streams (~0.5 ms at 2^16).
+DENSE_K = 4
+
+
+# In-kernel lane-fold rounds for the grouped kernel (0 = none: the
+# out-of-kernel XLA reduce at pallas_rounds=1 measured FASTER than the
+# roll+padd epilogue -- 9 vs 16 ms at 2^16/k=6, r5
+# benchmarks/diag_fixed_r5.py -- because the epilogue's per-entry
+# fori_loop serializes full-width padds while the XLA rounds are wide
+# and fuse; the fold path remains for sweeps via fold=1..7).
+DENSE_FOLD = 0
+
+
+def _msm_dense_tables_k(pt, windows, c: int, nwin: int, k: int = DENSE_K,
+                        interpret: bool = False, pallas_rounds: int = 1,
+                        fold: int = DENSE_FOLD):
+    """K-window grouped dense tables (the r5 fixed-term fix): the scan
+    walks ceil(nwin/k) window GROUPS with the k-table 128-lane kernel
+    (ops/pallas/msm_kernels.bucket_accum_k).  vs the r4 paired form this
+    cuts the outer-scan iterations (and their per-iteration dispatch/
+    reduce tails) by k/2, and the in-kernel lane-fold epilogue (fold
+    rounds; default all 7) replaces the out-of-kernel XLA lane reduce.
+    Missing windows pad with zero digits -> all-identity tables, dropped
+    on return."""
+    from ..ops.pallas import msm_kernels as _mk
+
     nb = (1 << (c - 1)) + 1
-    if paired:
+    mag, sgn = signed_digits(windows, c)
+    dsig = jnp.where(sgn, -mag, mag)  # [N, nwin]
+    n = dsig.shape[0]
+    n_pad = _mk.grp_pad(n)
+    dsig = jnp.pad(dsig, [(0, n_pad - n), (0, 0)])
+    pt_stack = _mk.prep_points_to(pt, n_pad)
+    ngrp = -(-nwin // k)
+    dsig_w = jnp.moveaxis(dsig, -1, 0)  # [nwin, n_pad]
+    pad_w = ngrp * k - nwin
+    if pad_w:
+        dsig_w = jnp.concatenate(
+            [dsig_w, jnp.zeros((pad_w, n_pad), dsig_w.dtype)], axis=0)
+    dsig_g = dsig_w.reshape(ngrp, k, n_pad)
+    width = _mk.GROUP_LANES >> fold
+
+    def body(_, dgrp):
+        dk8 = jnp.repeat(dgrp, 8, axis=0)  # [k*8, n_pad], rows 8h:8h+8 = win h
+        tbl = _mk.bucket_accum_k(pt_stack, dk8, nb, k, fold=fold,
+                                 interpret=interpret)
+        arr = tbl.reshape(k * nb, 4, _mk.PITCH, _mk.GROUP_LANES)[:, :, :22]
+        arr = arr[..., :width]  # lanes beyond the fold are don't-care
+        v = tuple(jnp.moveaxis(arr[:, j], -1, 1) for j in range(4))
+        red = (_lane_reduce(v, pallas_rounds) if width > 1
+               else tuple(cv[:, 0] for cv in v))
+        return None, tuple(cv.reshape(k, nb, 22) for cv in red)
+
+    _, tabs = jax.lax.scan(body, None, dsig_g)  # [ngrp, k, nb, 22]
+    return tuple(t.reshape(ngrp * k, nb, 22)[:nwin] for t in tabs)
+
+
+def _msm_dense_tables_all(pt, windows, c: int, nwin: int, k: int = DENSE_K,
+                          interpret: bool = False, pallas_rounds: int = 1,
+                          fold: int = 0):
+    """All-groups dense tables: ONE pallas_call with grid (ngrp, nsteps)
+    (msm_kernels.bucket_accum_all) instead of a lax.scan of per-group
+    kernels -- kills the measured ~4 ms per-pallas_call overhead per
+    group (r5, benchmarks/diag_fixed_r5.py).  The lane reduce runs once
+    over ALL windows (wider rounds, same math)."""
+    from ..ops.pallas import msm_kernels as _mk
+
+    nb = (1 << (c - 1)) + 1
+    mag, sgn = signed_digits(windows, c)
+    dsig = jnp.where(sgn, -mag, mag)  # [N, nwin]
+    n = dsig.shape[0]
+    n_pad = _mk.grp_pad(n)
+    dsig = jnp.pad(dsig, [(0, n_pad - n), (0, 0)])
+    pt_stack = _mk.prep_points_to(pt, n_pad)
+    ngrp = -(-nwin // k)
+    dsig_w = jnp.moveaxis(dsig, -1, 0)  # [nwin, n_pad]
+    pad_w = ngrp * k - nwin
+    if pad_w:
+        dsig_w = jnp.concatenate(
+            [dsig_w, jnp.zeros((pad_w, n_pad), dsig_w.dtype)], axis=0)
+    dig_g = dsig_w.reshape(ngrp, k, n_pad)
+    tbl = _mk.bucket_accum_all(pt_stack, dig_g, nb, k, fold=fold,
+                               interpret=interpret)
+    width = _mk.GROUP_LANES >> fold
+    arr = tbl.reshape(ngrp * k * nb, 4, _mk.PITCH, _mk.GROUP_LANES)[:, :, :22]
+    arr = arr[..., :width]
+    v = tuple(jnp.moveaxis(arr[:, j], -1, 1) for j in range(4))
+    red = (_lane_reduce(v, pallas_rounds) if width > 1
+           else tuple(cv[:, 0] for cv in v))
+    return tuple(cv.reshape(ngrp * k, nb, 22)[:nwin] for cv in red)
+
+
+@partial(jax.jit, static_argnames=("c", "nwin", "interpret", "k",
+                                   "pallas_rounds", "fold", "fused_combine",
+                                   "single_call"))
+def _msm_dense(pt, windows, c: int, nwin: int, interpret: bool = False,
+               k: int = DENSE_K, pallas_rounds: int = 1,
+               fold: int = DENSE_FOLD, fused_combine: bool = True,
+               single_call: bool = True):
+    """Dense-kernel MSM body in ONE jitted graph: bucket tables + window
+    combine.  k sets the window-group size: k>=3 takes the grouped
+    128-lane kernel (production default DENSE_K; the r5 fixed-term fix),
+    k=2 the r4 paired 256-lane kernel, k=1 the single-window 512-lane
+    kernel.  single_call=True (production) runs ALL window groups in one
+    2D-grid pallas_call (_msm_dense_tables_all); False keeps the
+    lax.scan-of-kernels form.  fused_combine=True (default) runs the
+    bucket totals + Horner as ONE Pallas kernel with windows on lanes
+    (msm_kernels.combine_tables) instead of the latency-bound XLA chain
+    (~30 ms at c=6, r5 benchmarks/diag_fixed_r5.py)."""
+    nb = (1 << (c - 1)) + 1
+    if k >= 3 and single_call:
+        tables = _msm_dense_tables_all(pt, windows, c, nwin, k=k,
+                                       interpret=interpret,
+                                       pallas_rounds=pallas_rounds,
+                                       fold=fold)
+    elif k >= 3:
+        tables = _msm_dense_tables_k(pt, windows, c, nwin, k=k,
+                                     interpret=interpret,
+                                     pallas_rounds=pallas_rounds,
+                                     fold=fold)
+    elif k == 2:
         tables = _msm_dense_tables_paired(pt, windows, c, nwin,
                                           interpret=interpret)
     else:
         tables = _msm_dense_tables(pt, windows, c, nwin, interpret=interpret)
+    if fused_combine:
+        from ..ops.pallas import msm_kernels as _mk
+        return _mk.combine_tables(tables, nb, nwin, c, interpret=interpret)
     return _combine_windows(tables, c, nb)
 
 
@@ -503,8 +643,28 @@ def _use_dense(n: int, c, fused: bool, signed: bool,
                dense: bool | None) -> bool:
     """Route to the dense VMEM bucket kernel?  TPU + Pallas + signed only;
     explicit c wider than MAX_DENSE_C keeps the scan path (the dense
-    accumulator block is VMEM-sized for nb <= 2^(MAX_DENSE_C-1)+1)."""
+    accumulator block is VMEM-sized for nb <= 2^(MAX_DENSE_C-1)+1).
+
+    Explicit dense=True is VALIDATED, not trusted (ADVICE r4): off-TPU it
+    would dispatch a non-interpret pallas_call and c > MAX_DENSE_C would
+    build an accumulator block past the VMEM budget -- both raise."""
+    from ..ops.pallas.msm_kernels import MAX_DENSE_C
+
     if dense is not None:
+        if dense:
+            if jax.default_backend() != "tpu":
+                raise ValueError(
+                    "msm(dense=True) requires a TPU backend (the dense "
+                    "bucket kernel is a Mosaic kernel); use dense=False "
+                    "or the interpret-mode _msm_dense directly")
+            if c is not None and c > MAX_DENSE_C:
+                raise ValueError(
+                    f"msm(dense=True) supports c <= {MAX_DENSE_C} "
+                    f"(VMEM-sized accumulator); got c={c}")
+            if not signed:
+                raise ValueError(
+                    "msm(dense=True) always uses signed digits; "
+                    "signed=False is not supported on the dense path")
         return dense
     if fused or not signed or n < 1 << 12:
         return False
@@ -513,7 +673,6 @@ def _use_dense(n: int, c, fused: bool, signed: bool,
     from ..config import DEFAULT as _cfg
     if not _cfg.use_pallas:
         return False
-    from ..ops.pallas.msm_kernels import MAX_DENSE_C
     return c is None or c <= MAX_DENSE_C
 
 
@@ -629,6 +788,11 @@ def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
     if c is None:
         c = (auto_c_dense if dense else auto_c)(int(np.prod(points.shape)))
     nwin = -(-251 // c)  # see msm(): signed-carry coverage
+    if dense and not signed:
+        # the dense kernel always builds signed tables with 2^(c-1)+1
+        # buckets; an unsigned nbuckets here would shape-mismatch the
+        # shard_combine path at trace time (ADVICE r4)
+        raise ValueError("msm_sharded(dense=True) requires signed=True")
     nbuckets = (1 << (c - 1)) + 1 if signed else 1 << c
     ndev = int(np.prod(mesh.devices.shape))
     windows = scalars.windows(c, nwin)
@@ -641,8 +805,8 @@ def msm_sharded(points: EdwardsPoint, scalars: Scalar, mesh,
     def local(pt_shard, win_shard):
         if dense:
             if shard_combine:
-                tables = _msm_dense_tables_paired(pt_shard, win_shard, c,
-                                                  nwin, interpret=interp)
+                tables = _msm_dense_tables_k(pt_shard, win_shard, c,
+                                             nwin, interpret=interp)
             else:
                 tables = None
                 partial_pt = _msm_dense(pt_shard, win_shard, c, nwin,

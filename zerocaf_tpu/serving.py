@@ -95,15 +95,26 @@ class Engine:
         ok=False (their lanes hold garbage, as the decode mask dictates).
 
         The secret-scalar multiply uses the signed windowed Pallas path
-        (`mul_windowed`): its one-hot table select reads every entry for
-        every lane, so the access pattern is secret-independent -- same
-        constant-time contract as the width-1 ladder but ~1.6x faster
-        (docs/CONSTANT_TIME.md path table)."""
+        (`mul_windowed(use_fused=True)`): its one-hot table select reads
+        every entry for every lane, so the access pattern is
+        secret-independent -- same constant-time contract as the width-1
+        ladder but ~1.6x faster (docs/CONSTANT_TIME.md path table).
+        Where that fused path is unavailable (CPU, or use_pallas off) dh
+        falls back to the oblivious select-by-bit ladder (`__mul__`) --
+        NEVER to the XLA windowed gather, whose take_along_axis access
+        pattern is not audited for secret scalars (ADVICE r4)."""
         def build():
+            import jax as _jax
+            from .config import DEFAULT as _cfg
+            fused_ok = _cfg.use_pallas and _jax.default_backend() == "tpu"
+
             def f(sk, peer):
                 s, _ = Scalar.from_bytes(sk)
                 p, ok = _ri._decompress(peer)
-                q = EdwardsPoint(*p).mul_windowed(s)
+                if fused_ok:
+                    q = EdwardsPoint(*p).mul_windowed(s, use_fused=True)
+                else:
+                    q = EdwardsPoint(*p) * s  # oblivious select ladder
                 return _ri._compress(q._tuple()), ok
             # peer buffer also consumed
             return (jax.jit(f, donate_argnums=(0, 1))
@@ -121,7 +132,7 @@ class Engine:
         return self._fn("hash_to_group", build)(uniform64)
 
     def msm(self, points_wire: jnp.ndarray, scalar32: jnp.ndarray,
-            c: int | None = None):
+            c: int | None = None, dense: bool | None = None):
         """[batch, 32] Ristretto wire + [batch, 32] scalar bytes ->
         ([32] wire, ok).
 
@@ -147,7 +158,13 @@ class Engine:
         if n != self.batch:
             raise ValueError(
                 f"msm batch {n} != engine batch {self.batch}; pad with pad_msm")
-        if _use_dense(n, c, False, True, None):
+        # dense=True off-TPU runs the bucket kernel in interpret mode --
+        # the CI escape hatch that keeps the production TPU branch
+        # regression-covered without hardware (VERDICT r4 item 7; the
+        # bare msm(dense=True) raises off-TPU instead because it cannot
+        # set interpret itself).
+        interp = jax.default_backend() != "tpu"
+        if dense if dense is not None else _use_dense(n, c, False, True, None):
             cd = c if c is not None else auto_c_dense(n)
             nwin_d = -(-251 // cd)
 
@@ -164,7 +181,7 @@ class Engine:
 
             pts, win, ok = self._fn(f"msm_decode_dense_c{cd}",
                                     build_decode_d)(points_wire, scalar32)
-            total = _msm_dense(pts, win, cd, nwin_d)
+            total = _msm_dense(pts, win, cd, nwin_d, interpret=interp)
             wire = self._fn("msm_encode_dense", build_encode_d)(total)
             return wire, ok
         if c is None:
@@ -196,8 +213,90 @@ class Engine:
         wire = self._fn(f"msm_encode_c{c}", build_encode)(tables)
         return wire, ok
 
+    # -- pipelined (double-buffered) serving ---------------------------------
+
+    def pipeline(self, name: str, depth: int = 2) -> "Pipeline":
+        """Double-buffered wrapper around one Engine op ("keygen", "dh",
+        "hash_to_group", "msm"): keeps up to `depth` batches in flight so
+        the dispatch of call i+1 overlaps device execution + readback of
+        call i.
+
+        This is the product form of the r4 `pipelined_rate` benchmark
+        construct (VERDICT r4 item 4): measured v5e dh at batch 32768 is
+        143k ops/s strictly sequential vs 230k with two calls in flight --
+        the ~4 us/op wire+dispatch cost hides behind execution whenever
+        the caller does not serialize readbacks."""
+        return Pipeline(getattr(self, name), depth)
+
     # -- introspection -------------------------------------------------------
 
     def compiled(self):
         """Names of the pipelines compiled so far."""
         return sorted(self._fns)
+
+
+class Pipeline:
+    """Keeps up to `depth` Engine calls in flight (jax dispatch is async;
+    only readback blocks).  Results come back in submission order as host
+    numpy arrays (full wire readback -- the serving contract).
+
+    Usage:
+        pipe = engine.pipeline("dh", depth=2)
+        for req in traffic:
+            done = pipe.submit(req.sk, req.peer)   # oldest result or None
+            if done is not None:
+                emit(done)
+        for done in pipe.drain():
+            emit(done)
+    """
+
+    def __init__(self, call, depth: int = 2):
+        if depth < 1:
+            raise ValueError(f"pipeline depth must be >= 1, got {depth}")
+        from collections import deque
+        self._call = call
+        self.depth = depth
+        self._inflight = deque()
+
+    @staticmethod
+    def _readback(out):
+        # np.asarray (not block_until_ready): under the axon tunnel
+        # block_until_ready can return at the dispatch floor before remote
+        # execution finishes (CLAUDE.md); a host copy is the real barrier
+        # and IS the serving wire-out.
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def submit(self, *args, **kwargs):
+        """Dispatch one batch.  If `depth` batches were already in flight,
+        blocks on the OLDEST and returns its result; otherwise returns
+        None (the pipeline is still filling)."""
+        out = None
+        if len(self._inflight) >= self.depth:
+            out = self._readback(self._inflight.popleft())
+        self._inflight.append(self._call(*args, **kwargs))
+        return out
+
+    def collect(self):
+        """Block on and return the oldest in-flight result."""
+        if not self._inflight:
+            raise RuntimeError("pipeline is empty: nothing submitted")
+        return self._readback(self._inflight.popleft())
+
+    def drain(self):
+        """Collect every remaining in-flight result, oldest first."""
+        out = []
+        while self._inflight:
+            out.append(self._readback(self._inflight.popleft()))
+        return out
+
+    def map(self, batches):
+        """Generator: feed an iterable of argument tuples through the
+        pipeline, yielding results in order with `depth` in flight."""
+        for args in batches:
+            done = self.submit(*args)
+            if done is not None:
+                yield done
+        yield from self.drain()
+
+    def __len__(self):
+        return len(self._inflight)
