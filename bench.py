@@ -136,6 +136,37 @@ elif metric == "ristretto_encode":
         return (x, y, z, tt)
     # one step = encode + decode; report the roundtrip rate
     t = time_chain(step, pt, 8)
+elif metric == "chain_roofline":
+    # Calibrate the FUSED-CHAIN roofline (VERDICT r4 item 5): time
+    # pow_tiled -- the fused Pallas square/mul chain, the same op blend
+    # as the ladder kernels -- at three static exponents and solve for
+    # the in-chain per-square and per-mul times:
+    #   e240 = 2^240: table build + 240 squarings
+    #   e120 = 2^120: table build + 120 squarings
+    #   e_mix: same squarings as e240 plus 60 extra nonzero windows
+    # t_sq = (T(e240) - T(e120)) / 120;  t_mul = (T(mix) - T(e240)) / 60.
+    # These are the DENOMINATOR constants for the MFU model: unlike the
+    # lone mul_tiled rate (whose dispatch-free in-kernel ops are ~1.4x
+    # cheaper, making r4 MFUs land above 1.0), they price ops as the
+    # fused kernels actually pay them.
+    from zerocaf_tpu.ops.pallas import field_kernels as fk
+    n = 1 << 14
+    A = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
+    e240 = 1 << 240
+    e120 = 1 << 120
+    e_mix = 0
+    for wdx in range(60):   # 60 nonzero 4-bit windows, LSB-aligned
+        e_mix |= 3 << (4 * wdx)
+    e_mix |= 1 << 240       # same top structure as e240
+    def t_of(e):
+        return time_chain(lambda a: fk.pow_tiled(a, e), A, 4)
+    t240, t120, tmix = t_of(e240), t_of(e120), t_of(e_mix)
+    t_sq = max(t240 - t120, 1e-12) / 120 / n
+    t_mul = max(tmix - t240, 1e-12) / 60 / n
+    print(json.dumps({"metric": metric, "sec": t240, "batch": n,
+                      "t_sq_ns": t_sq * 1e9, "t_mul_ns": t_mul * 1e9,
+                      "platform": jax.devices()[0].platform}))
+    raise SystemExit(0)
 elif metric == "msm":
     from zerocaf_tpu.parallel import msm as _msm
     from zerocaf_tpu import EdwardsPoint, Scalar
@@ -212,7 +243,7 @@ def main() -> None:
     results = {}
     platform = None
     for metric in ("windowed", "ladder", "fixed_base", "field_mul",
-                   "ristretto_encode", "msm"):
+                   "chain_roofline", "ristretto_encode", "msm"):
         if not force_cpu:
             # wait for a healthy tunnel before each compile-heavy child
             import time as _t
@@ -230,32 +261,34 @@ def main() -> None:
         return round(r["batch"] / r["sec"], 1) if r else None
 
     # --- MFU attribution (the 10^7 north-star gap, made auditable) -------
-    # Field-mul-equivalents per op for each path (squarings counted as
-    # muls; selects/adds/carries excluded -- this is a MUL-roofline model).
-    # Values ABOVE 1.0 are real and expected for square-heavy fused paths:
-    # the denominator is the STANDALONE mul kernel's rate, while in-kernel
-    # squarings cost ~0.7x a mul and fused chains reuse loaded operands
-    # (r2 measured ~1.41 ns/mul-equiv inside ladders vs 1.77 ns lone).
-    # What matters is the ORDERING: paths well below 1.0 still leave
-    # glue/overhead on the table (r4: fixed_base ~0.6 = comb gather glue;
-    # msm ~0.94 at its default 2^20 scale, where the 0.095 s fixed term
-    # mostly amortizes -- BASELINE.md r4).
-    #   windowed w4:  63 windows x (3 dbl@7M + 1 dbl@8M + madd@8M) = 2331
-    #                 + table build 7 x 10M + 8 Niels converts      ~ 2409
-    #   ladder w1:    250 x (dbl@8M + madd@8M)                      = 4000
-    #   fixed_base:   18 signed-w14 comb steps x 7M mixed adds      =  126
-    #   ristretto:    2 inv_sqrt-style chains (~250 sq + ~50 mul)   ~  600
-    #   msm (dense c=6, per point): 42 windows x unified add @10.5M ~  441
-    # mfu[m] = implied muls/s / measured Pallas mul roofline (same run).
-    MULS_PER_OP = {"windowed": 2409, "ladder": 4000, "fixed_base": 126,
-                   "ristretto_encode": 600, "msm": 441}
-    mul_rate = rate("field_mul")
+    # CALIBRATED model (VERDICT r4 item 5): each path's op mix is priced
+    # with the measured in-chain per-square (t_sq) and per-mul (t_mul)
+    # times from the chain_roofline metric -- the fused-kernel costs, not
+    # the lone mul_tiled rate (whose dispatch-amortized in-kernel ops are
+    # ~1.4x cheaper and pushed r4 MFUs above 1.0).
+    #   MFU[m] = (n_mul * t_mul + n_sq * t_sq) * rate(m)  in (0, 1]
+    # Op mixes (muls, squares) per op; selects/adds/carries excluded, so
+    # select-heavy paths (msm's one-hot bucket kernel) legitimately read
+    # well below 1 -- the gap IS the select/glue share:
+    #   windowed w4:  63 x (3 dbl@3M4S + dbl@4M4S + madd@8M) + build
+    #   ladder w1:    250 x (dbl@4M4S + madd@8M)
+    #   fixed_base:   18 signed-w14 comb steps x 7M mixed adds
+    #   ristretto:    2 pow chains (~246 sq + ~30 mul each) + glue
+    #   msm dense c6: 42 windows x unified add @10.5M per point
+    # Same-run normalization handles the +-15% tunnel variance: rates and
+    # roofline constants come from one bench invocation.
+    OPS_PER_OP = {  # (n_mul, n_sq)
+        "windowed": (1386, 1008), "ladder": (3000, 1000),
+        "fixed_base": (126, 0), "ristretto_encode": (160, 492),
+        "msm": (441, 0)}
+    cr = results.get("chain_roofline") or {}
+    t_mul_ns, t_sq_ns = cr.get("t_mul_ns"), cr.get("t_sq_ns")
     mfu = {}
-    if mul_rate:
-        for m, k in MULS_PER_OP.items():
+    if t_mul_ns and t_sq_ns:
+        for m, (nm, ns) in OPS_PER_OP.items():
             r = rate(m)
             if r:
-                mfu[m] = round(r * k / mul_rate, 4)
+                mfu[m] = round(r * (nm * t_mul_ns + ns * t_sq_ns) * 1e-9, 4)
 
     headline = rate("windowed") or rate("ladder") or rate("fixed_base") or 0.0
     out = {
@@ -273,7 +306,10 @@ def main() -> None:
         "msm_points": results.get("msm", {}).get("batch"),
         "msm_wall_s": round(results["msm"]["sec"], 4) if "msm" in results else None,
         "mfu": mfu,
-        "mfu_model_muls_per_op": MULS_PER_OP,
+        "mfu_model_ops_per_op": {m: {"mul": v[0], "sq": v[1]}
+                                 for m, v in OPS_PER_OP.items()},
+        "mfu_roofline_ns": {"t_mul": round(t_mul_ns, 4) if t_mul_ns else None,
+                            "t_sq": round(t_sq_ns, 4) if t_sq_ns else None},
     }
     print(json.dumps(out))
 

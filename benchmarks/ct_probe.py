@@ -186,10 +186,15 @@ def main():
             "alternating": np.tile(np.arange(63) % 16,
                                    (BATCH, 1)).astype(np.int32),
         }
+        # r5 (VERDICT r4 item 6): longer paired segments + more reps to
+        # settle the 3.09%-vs-3% r4 spread -- overridable for sweeps
         paired_probe("windowed_signed_pallas",
                      lambda st, cls: fk.scalar_mul_windowed_signed(
                          st, cls, 4)[0],
-                     pt, wclasses, iters=4, unit="us")
+                     pt, wclasses,
+                     iters=int(os.environ.get("CT_WIN_ITERS", "8")),
+                     unit="us",
+                     reps=int(os.environ.get("CT_WIN_REPS", "15")))
 
 
 if __name__ == "__main__":

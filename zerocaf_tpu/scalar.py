@@ -247,14 +247,37 @@ class Scalar:
 
     def windows(self, width: int, nwin: int | None = None) -> jnp.ndarray:
         """Unsigned fixed-width windows [..., nwin] int32 (digit i = bits
-        [i*w, (i+1)*w)), on device -- the Pippenger digit decomposition."""
-        bits = self.into_bits(250 if nwin is None else nwin * width)
-        n = bits.shape[-1]
-        pad = (-n) % width
-        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-        groups = bits.reshape(*bits.shape[:-1], -1, width)
-        w = jnp.asarray((1 << np.arange(width)).astype(np.int32))
-        return jnp.sum(groups * w, axis=-1, dtype=jnp.int32)
+        [i*w, (i+1)*w)), on device -- the Pippenger digit decomposition.
+
+        Extracted directly from the canonical limbs with static per-window
+        shift/or (each width<=19 window straddles limbs without int32
+        overflow: limb < 2^12 shifted by < width).  The r4 form expanded
+        to an [..., nwin*width] int32 BIT tensor first -- 4.2 GB of HBM at
+        N = 2^22, the allocation that OOMed the at-scale MSM."""
+        if nwin is None:
+            nwin = -(-250 // width)
+        if width > 19:  # shifted limb would overflow int32; no caller does
+            bits = self.into_bits(nwin * width)
+            groups = bits.reshape(*bits.shape[:-1], nwin, width)
+            w = jnp.asarray((1 << np.arange(width)).astype(np.int32))
+            return jnp.sum(groups * w, axis=-1, dtype=jnp.int32)
+        wb = self.spec.wbits
+        lc = _l.canonical(self.limbs, self.spec).astype(jnp.int32)
+        mask = (1 << width) - 1
+        outs = []
+        for i in range(nwin):
+            base = i * width
+            d = None
+            for j in range(base // wb,
+                           min((base + width - 1) // wb + 1,
+                               self.spec.nlimbs)):
+                sh = wb * j - base
+                v = lc[..., j]
+                t = (v << sh) if sh >= 0 else (v >> -sh)
+                d = t if d is None else d | t
+            outs.append((d if d is not None else jnp.zeros_like(lc[..., 0]))
+                        & mask)
+        return jnp.stack(outs, axis=-1)
 
     def __repr__(self) -> str:
         return f"Scalar(shape={self.shape}, backend={self.spec.name})"
