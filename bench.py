@@ -149,6 +149,12 @@ elif metric == "chain_roofline":
     # lone mul_tiled rate (whose dispatch-free in-kernel ops are ~1.4x
     # cheaper, making r4 MFUs land above 1.0), they price ops as the
     # fused kernels actually pay them.
+    if jax.devices()[0].platform != "tpu":
+        # the fused chain is a Mosaic kernel; on CPU report nothing and
+        # let the MFU block fall back to absent
+        print(json.dumps({"metric": metric, "sec": None, "batch": 0,
+                          "platform": jax.devices()[0].platform}))
+        raise SystemExit(0)
     from zerocaf_tpu.ops.pallas import field_kernels as fk
     n = 1 << 14
     A = jnp.asarray(rng.integers(0, 4096, (n, 22)).astype(np.int32))
