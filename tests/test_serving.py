@@ -126,7 +126,7 @@ def test_msm_dense_branch_interpret():
         s_i = int.from_bytes(sc[i].tobytes(), "little") % o.R
         acc = o.point_add(acc, o.scalar_mul(o.BASEPOINT, k_i * s_i % o.R))
     assert np.asarray(wire_d).tobytes() == o.ristretto_compress(acc)
-    assert "msm_decode_dense_c4" in eng.compiled()
+    assert "msm_dense_c4" in eng.compiled()
 
 
 def test_pad_batch():

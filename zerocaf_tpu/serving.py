@@ -144,12 +144,13 @@ class Engine:
         engine batch (pad ragged traffic with `pad_msm` -- identity wire +
         zero scalars contribute nothing to the sum).
 
-        On TPU the aggregation runs through the dense VMEM bucket kernel
-        (parallel/msm._msm_dense, one jitted graph); otherwise three
-        cached jit stages per window width c: donated decode, the
-        per-window Pippenger kernels (module-level jits, cached by
-        (batch, c) shapes), and the combine+encode -- steady-state calls
-        re-trace nothing."""
+        On TPU the whole pipeline -- decode, dense VMEM bucket MSM
+        (parallel/msm._msm_dense), encode -- is ONE jitted graph (one
+        dispatch per call); the scan fallback uses three cached jit
+        stages per window width c: donated decode, the per-window
+        Pippenger kernels (module-level jits, cached by (batch, c)
+        shapes), and the combine+encode -- steady-state calls re-trace
+        nothing."""
         from .parallel.msm import (_combine_windows, _msm_dense, _use_dense,
                                    _window_buckets_signed, auto_c,
                                    auto_c_dense, signed_digits)
@@ -168,22 +169,24 @@ class Engine:
             cd = c if c is not None else auto_c_dense(n)
             nwin_d = -(-251 // cd)
 
-            def build_decode_d():
+            def build_dense():
+                # ONE jitted graph end-to-end (r5): decode + dense MSM +
+                # encode.  The r4 three-stage split paid two extra
+                # dispatch round trips (~40-60 ms under the tunnel) per
+                # call; the dense body is an ordinary jittable function,
+                # so there is nothing to stage
                 def f(wire, sk):
                     pts, okp = _ri._decompress(wire)
                     s, _ = Scalar.from_bytes(sk)
-                    return pts, s.windows(cd, nwin_d), jnp.all(okp)
+                    win = s.windows(cd, nwin_d)
+                    total = _msm_dense(pts, win, cd, nwin_d,
+                                       interpret=interp)
+                    return _ri._compress(total), jnp.all(okp)
                 return (jax.jit(f, donate_argnums=(0, 1))
                         if self._jit is not jax.jit else jax.jit(f))
 
-            def build_encode_d():
-                return jax.jit(lambda total: _ri._compress(total))
-
-            pts, win, ok = self._fn(f"msm_decode_dense_c{cd}",
-                                    build_decode_d)(points_wire, scalar32)
-            total = _msm_dense(pts, win, cd, nwin_d, interpret=interp)
-            wire = self._fn("msm_encode_dense", build_encode_d)(total)
-            return wire, ok
+            return self._fn(f"msm_dense_c{cd}", build_dense)(
+                points_wire, scalar32)
         if c is None:
             c = auto_c(n)
         nwin = -(-251 // c)  # signed-carry coverage (parallel/msm.msm)
