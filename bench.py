@@ -152,8 +152,8 @@ elif metric == "chain_roofline":
     if jax.devices()[0].platform != "tpu":
         # the fused chain is a Mosaic kernel; on CPU report nothing and
         # let the MFU block fall back to absent
-        print(json.dumps({"metric": metric, "sec": None, "batch": 0,
-                          "platform": jax.devices()[0].platform}))
+        print(json.dumps({{"metric": metric, "sec": None, "batch": 0,
+                           "platform": jax.devices()[0].platform}}))
         raise SystemExit(0)
     from zerocaf_tpu.ops.pallas import field_kernels as fk
     n = 1 << 14
@@ -169,9 +169,9 @@ elif metric == "chain_roofline":
     t240, t120, tmix = t_of(e240), t_of(e120), t_of(e_mix)
     t_sq = max(t240 - t120, 1e-12) / 120 / n
     t_mul = max(tmix - t240, 1e-12) / 60 / n
-    print(json.dumps({"metric": metric, "sec": t240, "batch": n,
-                      "t_sq_ns": t_sq * 1e9, "t_mul_ns": t_mul * 1e9,
-                      "platform": jax.devices()[0].platform}))
+    print(json.dumps({{"metric": metric, "sec": t240, "batch": n,
+                       "t_sq_ns": t_sq * 1e9, "t_mul_ns": t_mul * 1e9,
+                       "platform": jax.devices()[0].platform}}))
     raise SystemExit(0)
 elif metric == "msm":
     from zerocaf_tpu.parallel import msm as _msm
